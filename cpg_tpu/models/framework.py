@@ -1,0 +1,256 @@
+"""Tiny functional layer framework for CPG models.
+
+Why not flax/haiku modules: CPG needs (a) a hard structural split between
+*shared* sharable kernels (conv/dense weights that ownership masks govern —
+ref:models/layers.py SharableConv2d/SharableLinear) and *task-private* params
+(BN affine+stats, biases, PReLU, classifier heads — ref `shared_layer_info`),
+and (b) weight-tensor surgery on growth (every kernel resized, old block
+embedded). A flat, explicitly-partitioned param dict keyed by layer name makes
+both trivial and keeps the whole model a pure function of pytrees — ideal for
+jit/pjit donation.
+
+Usage:
+    def model_fn(ctx, x): ...            # calls sconv/sdense/batchnorm/...
+    shared, private, bn_state = init(rng, model_fn, sample_x)
+    y, new_bn = apply(model_fn, eff_shared, private, bn_state, x, train=True)
+
+`shared` holds ONLY maskable kernels; everything else is per-task private.
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass, field
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _name_rng(rng, name: str):
+    return jax.random.fold_in(rng, zlib.crc32(name.encode()))
+
+
+def he_normal_fan_out(rng, shape, dtype=jnp.float32):
+    """Kaiming-normal, fan_out, relu gain — torch's VGG/ResNet conv init."""
+    if len(shape) == 4:  # HWIO conv kernel
+        fan_out = shape[0] * shape[1] * shape[3]
+    else:  # (in, out) dense kernel
+        fan_out = shape[-1]
+    std = np.sqrt(2.0 / fan_out)
+    return jax.random.normal(rng, shape, dtype) * std
+
+
+def normal_init(std):
+    def f(rng, shape, dtype=jnp.float32):
+        return jax.random.normal(rng, shape, dtype) * std
+
+    return f
+
+
+def xavier_normal(rng, shape, dtype=jnp.float32):
+    fan_in = shape[0] if len(shape) == 2 else shape[0] * shape[1] * shape[2]
+    fan_out = shape[-1] if len(shape) == 2 else shape[0] * shape[1] * shape[3]
+    std = np.sqrt(2.0 / (fan_in + fan_out))
+    return jax.random.normal(rng, shape, dtype) * std
+
+
+@dataclass
+class Ctx:
+    """Per-call context threading params through a functional forward."""
+
+    mode: str  # 'init' | 'apply'
+    train: bool
+    rng: Optional[jax.Array] = None
+    shared: Dict[str, jax.Array] = field(default_factory=dict)
+    private: Dict[str, jax.Array] = field(default_factory=dict)
+    bn_state: Dict[str, jax.Array] = field(default_factory=dict)
+    new_bn_state: Dict[str, jax.Array] = field(default_factory=dict)
+    compute_dtype: jnp.dtype = jnp.float32
+
+    # -- param accessors ----------------------------------------------------
+    def shared_param(self, name, shape, init_fn):
+        if self.mode == "init":
+            if name in self.shared:
+                raise ValueError(f"duplicate shared param {name}")
+            self.shared[name] = init_fn(_name_rng(self.rng, name), shape)
+        w = self.shared[name]
+        assert w.shape == tuple(shape), f"{name}: {w.shape} != {tuple(shape)}"
+        return w
+
+    def private_param(self, name, shape, init_fn):
+        if self.mode == "init":
+            if name in self.private:
+                raise ValueError(f"duplicate private param {name}")
+            self.private[name] = init_fn(_name_rng(self.rng, name), shape)
+        return self.private[name]
+
+    def bn_running(self, name, shape):
+        if self.mode == "init":
+            self.bn_state[name + "/mean"] = jnp.zeros(shape, jnp.float32)
+            self.bn_state[name + "/var"] = jnp.ones(shape, jnp.float32)
+        return self.bn_state[name + "/mean"], self.bn_state[name + "/var"]
+
+
+# ---------------------------------------------------------------------------
+# Layers. Sharable kernels -> ctx.shared; everything else -> ctx.private.
+# ---------------------------------------------------------------------------
+
+
+def sconv(
+    ctx: Ctx,
+    name: str,
+    x: jax.Array,
+    features: int,
+    kernel: int = 3,
+    stride: int = 1,
+    padding="SAME",
+    use_bias: bool = False,
+    kernel_init=he_normal_fan_out,
+) -> jax.Array:
+    """Sharable 2D conv (ref:models/layers.py SharableConv2d). NHWC/HWIO."""
+    cin = x.shape[-1]
+    w = ctx.shared_param(f"{name}/kernel", (kernel, kernel, cin, features), kernel_init)
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    y = jax.lax.conv_general_dilated(
+        x.astype(ctx.compute_dtype),
+        w.astype(ctx.compute_dtype),
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    if use_bias:
+        b = ctx.private_param(f"{name}/bias", (features,), lambda r, s: jnp.zeros(s))
+        y = y + b
+    return y
+
+
+def sdense(
+    ctx: Ctx,
+    name: str,
+    x: jax.Array,
+    features: int,
+    use_bias: bool = True,
+    kernel_init=normal_init(0.01),
+) -> jax.Array:
+    """Sharable dense layer (ref:models/layers.py SharableLinear)."""
+    w = ctx.shared_param(f"{name}/kernel", (x.shape[-1], features), kernel_init)
+    y = jnp.dot(
+        x.astype(ctx.compute_dtype),
+        w.astype(ctx.compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    if use_bias:
+        b = ctx.private_param(f"{name}/bias", (features,), lambda r, s: jnp.zeros(s))
+        y = y + b
+    return y
+
+
+BN_MOMENTUM = 0.1  # torch default: running = (1-m)*running + m*batch
+BN_EPS = 1e-5
+
+
+def batchnorm(ctx: Ctx, name: str, x: jax.Array) -> jax.Array:
+    """BatchNorm with task-private affine AND task-private running stats
+    (ref: `shared_layer_info[dataset]['bn_layer_running_mean'/...]`)."""
+    c = x.shape[-1]
+    scale = ctx.private_param(f"{name}/scale", (c,), lambda r, s: jnp.ones(s))
+    bias = ctx.private_param(f"{name}/bias", (c,), lambda r, s: jnp.zeros(s))
+    rmean, rvar = ctx.bn_running(name, (c,))
+    xf = x.astype(jnp.float32)
+    if ctx.train:
+        axes = tuple(range(xf.ndim - 1))
+        mean = jnp.mean(xf, axes)
+        var = jnp.var(xf, axes)
+        n = np.prod([xf.shape[a] for a in axes])
+        unbiased = var * (n / max(n - 1, 1))
+        ctx.new_bn_state[name + "/mean"] = (
+            (1 - BN_MOMENTUM) * rmean + BN_MOMENTUM * mean
+        )
+        ctx.new_bn_state[name + "/var"] = (
+            (1 - BN_MOMENTUM) * rvar + BN_MOMENTUM * unbiased
+        )
+    else:
+        mean, var = rmean, rvar
+        ctx.new_bn_state[name + "/mean"] = rmean
+        ctx.new_bn_state[name + "/var"] = rvar
+    inv = jax.lax.rsqrt(var + BN_EPS)
+    y = (xf - mean) * inv * scale + bias
+    return y.astype(x.dtype if x.dtype != jnp.float32 else jnp.float32)
+
+
+def prelu(ctx: Ctx, name: str, x: jax.Array) -> jax.Array:
+    """PReLU with task-private slope (ref: SphereNet PReLU in shared_layer_info)."""
+    a = ctx.private_param(f"{name}/slope", (x.shape[-1],), lambda r, s: jnp.full(s, 0.25))
+    xf = x.astype(jnp.float32)
+    return jnp.where(xf >= 0, xf, a * xf)
+
+
+def head(
+    ctx: Ctx,
+    name: str,
+    x: jax.Array,
+    num_classes: int,
+    kernel_init=normal_init(0.01),
+) -> jax.Array:
+    """Task-private classifier head (ref: per-dataset `classifiers` ModuleDict)."""
+    w = ctx.private_param(f"{name}/kernel", (x.shape[-1], num_classes), kernel_init)
+    b = ctx.private_param(f"{name}/bias", (num_classes,), lambda r, s: jnp.zeros(s))
+    return jnp.dot(x.astype(jnp.float32), w) + b
+
+
+def maxpool(x, window=2, stride=2):
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf,
+        jax.lax.max,
+        (1, window, window, 1),
+        (1, stride, stride, 1),
+        "VALID",
+    )
+
+
+def avgpool_global(x):
+    return jnp.mean(x, axis=(1, 2))
+
+
+def relu(x):
+    return jnp.maximum(x, 0)
+
+
+# ---------------------------------------------------------------------------
+# init / apply drivers
+# ---------------------------------------------------------------------------
+
+
+def init(
+    rng, model_fn: Callable, sample_x, compute_dtype=jnp.float32, **kwargs
+) -> Tuple[Dict, Dict, Dict]:
+    ctx = Ctx(mode="init", train=False, rng=rng, compute_dtype=compute_dtype)
+    model_fn(ctx, sample_x, **kwargs)
+    return ctx.shared, ctx.private, ctx.bn_state
+
+
+def apply(
+    model_fn: Callable,
+    shared: Dict,
+    private: Dict,
+    bn_state: Dict,
+    x,
+    train: bool,
+    compute_dtype=jnp.float32,
+    **kwargs,
+):
+    ctx = Ctx(
+        mode="apply",
+        train=train,
+        shared=shared,
+        private=private,
+        bn_state=bn_state,
+        compute_dtype=compute_dtype,
+    )
+    out = model_fn(ctx, x, **kwargs)
+    return out, ctx.new_bn_state

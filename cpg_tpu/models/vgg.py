@@ -1,0 +1,40 @@
+"""VGG16-BN (CIFAR variant), width-multiplier-aware, multi-head.
+
+Reference: ref:models/vgg.py — `custom_vgg` built from the classic cfg list
+with BatchNorm, every channel count scaled by `network_width_multiplier`;
+conv kernels are SharableConv2d (ownership-masked); BN affine/stats and the
+per-dataset classifier head are task-private. Input 32x32x3; five 2x2
+max-pools reduce to 1x1x(512*m); the head is Linear(512*m -> num_classes).
+"""
+
+from __future__ import annotations
+
+from .framework import Ctx, batchnorm, head, maxpool, relu, sconv
+
+CFG_VGG16 = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512, "M",
+             512, 512, 512, "M"]
+
+
+def scale_channels(c: int, mult: float) -> int:
+    """ref: make_layers scales each cfg entry by the width multiplier."""
+    return max(1, int(c * mult))
+
+
+def vgg16_bn_cifar(ctx: Ctx, x, num_classes: int, mult: float = 1.0):
+    """Forward. x: (N, 32, 32, 3) NHWC. Returns logits (N, num_classes)."""
+    i = 0
+    for v in CFG_VGG16:
+        if v == "M":
+            x = maxpool(x)
+            continue
+        c = scale_channels(v, mult)
+        x = sconv(ctx, f"features/conv{i}", x, c, kernel=3, stride=1, padding="SAME")
+        x = batchnorm(ctx, f"features/bn{i}", x)
+        x = relu(x)
+        i += 1
+    x = x.reshape(x.shape[0], -1)  # (N, 512*m) after 5 pools on 32x32
+    return head(ctx, "classifier", x, num_classes)
+
+
+def vgg16_features_dim(mult: float = 1.0) -> int:
+    return scale_channels(512, mult)
