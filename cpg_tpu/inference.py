@@ -1,0 +1,59 @@
+"""Task-conditioned inference — the public predict() API.
+
+Reference semantics (ref --mode inference, SURVEY §3.4): restore the task's
+piggymask + private BN/bias/head, zero out weights with ownership 0 or > t,
+forward with binarize(piggymask_t) ⊙ w, pick head t.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+
+from .core.state import CPGState
+from .models import framework as fw
+from .models import get_model
+from .ops.masked import effective_params
+
+
+def predict(state: CPGState, task_id: int, x, preprocess_fn=None,
+            compute_dtype=None):
+    """Logits for `x` under task `task_id`'s view of the network."""
+    task = state.tasks[task_id]
+    model_fn, _ = get_model(state.arch)
+    if preprocess_fn is not None:
+        x = preprocess_fn(x)
+    eff = effective_params(
+        state.shared, state.ownership, task.piggymask, task_id,
+        state.threshold, compute_dtype=compute_dtype,
+    )
+    logits, _ = fw.apply(
+        model_fn, eff, task.private, task.bn_state, x, train=False,
+        compute_dtype=compute_dtype or x.dtype,
+        num_classes=task.num_classes, mult=state.width_mult,
+    )
+    return logits
+
+
+def make_predict_fn(state: CPGState, task_id: int, preprocess_fn=None,
+                    compute_dtype=None):
+    """A jittable closure over the task's (frozen) view — for serving."""
+    task = state.tasks[task_id]
+    model_fn, _ = get_model(state.arch)
+    mult, nc, thr = state.width_mult, task.num_classes, state.threshold
+
+    @jax.jit
+    def fn(shared, ownership, piggymask, private, bn_state, x):
+        xx = preprocess_fn(x) if preprocess_fn is not None else x
+        eff = effective_params(shared, ownership, piggymask, task_id, thr,
+                               compute_dtype=compute_dtype)
+        logits, _ = fw.apply(
+            model_fn, eff, private, bn_state, xx, train=False,
+            compute_dtype=compute_dtype or xx.dtype, num_classes=nc, mult=mult,
+        )
+        return logits
+
+    return partial(fn, state.shared, state.ownership, task.piggymask,
+                   task.private, task.bn_state)

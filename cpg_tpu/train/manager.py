@@ -1,0 +1,208 @@
+"""Manager: train / eval / prune-retrain loops over the jitted steps.
+
+Reference: the `Manager` class defined in each main script
+(ref:CPG_cifar100_main_normal.py etc.) — epoch loops, accuracy metering,
+LR scheduling, gradual pruning driven from the host, checkpoint save/load.
+
+TPU-native deltas: all per-step math lives in ONE donated jit (train/step.py);
+prune events are a second tiny jitted program (core/pruner.py) fired every
+`prune_freq` steps during the prune window; the ratio is a traced scalar so
+the whole compact loop reuses one executable. Epoch-level LR control writes a
+scalar into the injected-hyperparams optimizer state (no recompile).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import pruner
+from ..core.state import CPGState, TaskEntry
+from ..data.cifar import iterate_batches
+from .step import TrainConfig, make_eval_step, make_train_step, set_lr
+
+
+@dataclasses.dataclass
+class PhaseResult:
+    acc: float
+    loss: float
+    steps: int
+    seconds: float
+    images_per_sec: float
+
+
+def _lr_at(base_lr: float, epoch: int, total_epochs: int, schedule: str) -> float:
+    if schedule == "cosine":
+        return 0.5 * base_lr * (1 + math.cos(math.pi * epoch / max(total_epochs, 1)))
+    if schedule == "constant":
+        return base_lr
+    raise ValueError(schedule)
+
+
+class Manager:
+    """Drives one task's phases: pick/finetune -> gradual prune -> retrain."""
+
+    def __init__(
+        self,
+        state: CPGState,
+        model_fn: Callable,
+        task_id: int,
+        data: Dict[str, np.ndarray],
+        cfg: TrainConfig,
+        batch_size: int = 128,
+        augment_fn: Optional[Callable] = None,
+        preprocess_fn: Optional[Callable] = None,
+        loss_fn=None,
+        seed: int = 0,
+        lr_schedule: str = "cosine",
+    ):
+        self.state = state
+        self.model_fn = model_fn
+        self.task_id = task_id
+        self.task = state.tasks[task_id]
+        self.data = data
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.lr_schedule = lr_schedule
+        self.np_rng = np.random.RandomState(seed)
+        self.rng = jax.random.PRNGKey(seed)
+        self.has_piggymask = self.task.piggymask is not None
+
+        kwargs = dict(
+            num_classes=self.task.num_classes,
+            mult=state.width_mult,
+            has_piggymask=self.has_piggymask,
+            cfg=cfg,
+        )
+        extra = {} if loss_fn is None else {"loss_fn": loss_fn}
+        self.train_step, (self.opt_w, self.opt_pm) = make_train_step(
+            model_fn, augment_fn=augment_fn, **kwargs, **extra
+        )
+        self.eval_step = make_eval_step(model_fn, preprocess_fn=preprocess_fn, **kwargs)
+        self.reset_optimizers()
+
+    # -- optimizer state ----------------------------------------------------
+    def reset_optimizers(self):
+        self.opt_w_state = self.opt_w.init(
+            {"shared": self.state.shared, "private": self.task.private}
+        )
+        pm = self.task.piggymask if self.has_piggymask else {}
+        self.opt_pm_state = self.opt_pm.init(pm)
+
+    # -- phases ---------------------------------------------------------------
+    def train(
+        self,
+        epochs: int,
+        base_lr: Optional[float] = None,
+        prune_to: Optional[float] = None,
+        prune_freq: int = 50,
+        prune_begin_frac: float = 0.0,
+        prune_end_frac: float = 0.8,
+    ) -> PhaseResult:
+        """Train `epochs`. If `prune_to` is set, runs the gradual-prune window
+        inside (ref:--mode prune): cubic schedule from current sparsity to
+        `prune_to`, prune event every `prune_freq` steps, then the remaining
+        steps retrain at fixed final sparsity."""
+        st, task = self.state, self.task
+        base_lr = self.cfg.lr if base_lr is None else base_lr
+        n = len(self.data["train_x"])
+        steps_per_epoch = max(n // self.batch_size, 1)
+        total_steps = epochs * steps_per_epoch
+
+        n0 = None
+        prune_begin = prune_end = -1
+        init_sparsity = 0.0
+        if prune_to is not None:
+            n0 = jax.tree.map(int, pruner.snapshot_owned_counts(
+                st.ownership, self.task_id))
+            prune_begin = int(prune_begin_frac * total_steps)
+            prune_end = max(int(prune_end_frac * total_steps), prune_begin + 1)
+
+        pm = task.piggymask if self.has_piggymask else {}
+        shared, ownership = st.shared, st.ownership
+        private, bn_state = task.private, task.bn_state
+        opt_w_state, opt_pm_state = self.opt_w_state, self.opt_pm_state
+
+        step_i = 0
+        losses, accs = [], []
+        t0 = time.perf_counter()
+        for epoch in range(epochs):
+            opt_w_state = set_lr(
+                opt_w_state, _lr_at(base_lr, epoch, epochs, self.lr_schedule))
+            for bx, by in iterate_batches(
+                self.data["train_x"], self.data["train_y"], self.batch_size,
+                self.np_rng, train=True,
+            ):
+                if (
+                    prune_to is not None
+                    and prune_begin <= step_i <= prune_end
+                    and (step_i - prune_begin) % prune_freq == 0
+                ):
+                    from ..core.schedule import cubic_sparsity
+
+                    target = cubic_sparsity(
+                        step_i, prune_begin, prune_end, init_sparsity, prune_to)
+                    shared, ownership = pruner.gradual_prune(
+                        shared, ownership, self.task_id, target, n0)
+                self.rng, sub = jax.random.split(self.rng)
+                (shared, pm, private, bn_state, opt_w_state, opt_pm_state,
+                 metrics) = self.train_step(
+                    shared, pm, private, bn_state, opt_w_state, opt_pm_state,
+                    ownership, self.task_id, bx, by, sub,
+                )
+                step_i += 1
+            losses.append(float(metrics["loss"]))
+            accs.append(float(metrics["acc"]))
+        jax.block_until_ready(shared)
+        dt = time.perf_counter() - t0
+
+        # final prune event to exactly the target (window may not land on it)
+        if prune_to is not None:
+            shared, ownership = pruner.gradual_prune(
+                shared, ownership, self.task_id, prune_to, n0)
+
+        st.shared, st.ownership = shared, ownership
+        task.private, task.bn_state = private, bn_state
+        if self.has_piggymask:
+            task.piggymask = pm
+        self.opt_w_state, self.opt_pm_state = opt_w_state, opt_pm_state
+
+        acc = self.eval()
+        return PhaseResult(
+            acc=acc,
+            loss=losses[-1] if losses else float("nan"),
+            steps=step_i,
+            seconds=dt,
+            images_per_sec=step_i * self.batch_size / max(dt, 1e-9),
+        )
+
+    def eval(self, task_id: Optional[int] = None) -> float:
+        """Task-conditioned top-1 on the task's test split."""
+        task_id = self.task_id if task_id is None else task_id
+        task = self.state.tasks[task_id]
+        pm = task.piggymask if task.piggymask is not None else {}
+        correct, total = 0, 0
+        for bx, by in iterate_batches(
+            self.data["test_x"], self.data["test_y"], self.batch_size,
+            self.np_rng, train=False,
+        ):
+            _, m = self.eval_step(
+                self.state.shared, pm, task.private, task.bn_state,
+                self.state.ownership, task_id, bx, by,
+            )
+            correct += int(m["acc_sum"])
+            total += len(by)
+        return correct / max(total, 1)
+
+    # -- one-shot prune (ref --one_shot_prune_perc) --------------------------
+    def one_shot_prune(self, ratio: float):
+        self.state.shared, self.state.ownership = pruner.one_shot_prune(
+            self.state.shared, self.state.ownership, self.task_id,
+            jnp.float32(ratio),
+        )

@@ -1,0 +1,286 @@
+"""The full compact-pick-grow cycle as one programmatic API.
+
+Replaces the reference's bash state machine (ref:experiment1/CPG_cifar100.sh:
+for each task -> finetune; loop prune ratios writing ratio->acc JSON; pick the
+max ratio with acc >= baseline - allow_acc_diff; if unreachable bump
+network_width_multiplier by 0.5 and redo; abort past the max multiplier).
+Here the whole cycle is Python over jitted device programs — no process
+boundaries, no JSON round-trips — but the ratio->acc record is still emitted
+as a public artifact (it is part of the algorithm's observable behavior).
+"""
+
+from __future__ import annotations
+
+import copy
+import dataclasses
+import json
+import logging
+import os
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import grow as grow_mod
+from ..core.ownership import assign_free_to_task, init_ownership, free_ratio
+from ..core.state import CPGState, TaskEntry
+from ..models import framework as fw
+from ..models import get_model
+from ..ops.binarize import init_piggymask
+from .manager import Manager
+from .step import TrainConfig
+
+log = logging.getLogger("cpg_tpu")
+
+
+def _copy_tree(tree):
+    """Device copy — snapshots must not alias buffers that jit later donates."""
+    return jax.tree.map(lambda a: a.copy() if hasattr(a, "copy") else a, tree)
+
+
+def snapshot(state: CPGState) -> CPGState:
+    return CPGState(
+        arch=state.arch,
+        width_mult=state.width_mult,
+        shared=_copy_tree(state.shared),
+        ownership=_copy_tree(state.ownership),
+        tasks={
+            tid: TaskEntry(
+                name=t.name,
+                num_classes=t.num_classes,
+                piggymask=_copy_tree(t.piggymask) if t.piggymask is not None else None,
+                private=_copy_tree(t.private),
+                bn_state=_copy_tree(t.bn_state),
+                meta=dict(t.meta),
+            )
+            for tid, t in state.tasks.items()
+        },
+        threshold=state.threshold,
+    )
+
+
+def init_state(arch: str, rng, width_mult: float = 1.0, batch_hw=None) -> CPGState:
+    """Fresh CPG state: shared weights initialized, everything free."""
+    model_fn, in_shape = get_model(arch)
+    x = jnp.zeros((1, *(batch_hw or in_shape)), jnp.float32)
+    shared, _, _ = fw.init(rng, model_fn, x, num_classes=2, mult=width_mult)
+    return CPGState(
+        arch=arch,
+        width_mult=width_mult,
+        shared=shared,
+        ownership=init_ownership(shared),
+    )
+
+
+def start_task(
+    state: CPGState,
+    name: str,
+    num_classes: int,
+    rng,
+    reinit_free: bool = False,
+) -> int:
+    """Add task k: claim free capacity (ref make_finetuning_mask), create the
+    piggymask over prior-task weights (k>1), fresh task-private params."""
+    model_fn, in_shape = get_model(state.arch)
+    task_id = state.num_tasks + 1
+    state.ownership = assign_free_to_task(state.ownership, task_id)
+    if reinit_free:
+        # optional: fresh kaiming noise on just-claimed (pruned-to-zero) entries
+        fresh, _, _ = fw.init(
+            rng, model_fn, jnp.zeros((1, *in_shape)), num_classes=num_classes,
+            mult=state.width_mult)
+        state.shared = jax.tree.map(
+            lambda w, m, f: jnp.where((m == task_id) & (w == 0), f, w),
+            state.shared, state.ownership, fresh,
+        )
+    piggymask = (
+        {k: init_piggymask(w.shape) for k, w in state.shared.items()}
+        if task_id > 1
+        else None
+    )
+    _, private, bn_state = fw.init(
+        rng, model_fn, jnp.zeros((1, *in_shape)), num_classes=num_classes,
+        mult=state.width_mult,
+    )
+    state.tasks[task_id] = TaskEntry(
+        name=name, num_classes=num_classes, piggymask=piggymask,
+        private=private, bn_state=bn_state,
+    )
+    return task_id
+
+
+def grow_state(state: CPGState, new_mult: float, rng,
+               flatten_dims=None) -> CPGState:
+    """Widen the network to `new_mult`, preserving all existing tasks exactly."""
+    model_fn, in_shape = get_model(state.arch)
+    x = jnp.zeros((1, *in_shape), jnp.float32)
+    fresh_shared, _, _ = fw.init(rng, model_fn, x, num_classes=2, mult=new_mult)
+    pms = {tid: t.piggymask for tid, t in state.tasks.items()}
+    shared, ownership, new_pms = grow_mod.grow_shared(
+        state.shared, state.ownership, fresh_shared, pms, flatten_dims)
+    state.shared, state.ownership, state.width_mult = shared, ownership, new_mult
+    for tid, t in state.tasks.items():
+        t.piggymask = new_pms[tid]
+        _, fresh_priv, fresh_bn = fw.init(
+            rng, model_fn, x, num_classes=t.num_classes, mult=new_mult)
+        t.private = grow_mod.grow_private(t.private, fresh_priv)
+        t.bn_state = grow_mod.grow_private(t.bn_state, fresh_bn)
+    return state
+
+
+@dataclasses.dataclass
+class SequenceConfig:
+    """One task's schedule (ref: hyperparameters hard-coded in experiment*/ *.sh)."""
+    finetune_epochs: int = 30
+    prune_epochs: int = 10
+    retrain_epochs: int = 10          # retrain after each candidate ratio
+    prune_ratios: Sequence[float] = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+    allow_acc_diff: float = 0.005      # ref --allow_acc_diff
+    growth_step: float = 0.5           # ref: multiplier += 0.5
+    max_width_mult: float = 2.0        # ref --max_allowed_network_width_multiplier
+    batch_size: int = 128
+    lr: float = 0.01
+    lr_mask: float = 1e-4
+    on_goal_miss: str = "accept"       # 'accept' best effort | 'abort' (ref)
+    compact_mode: str = "incremental"  # 'incremental' | 'restart' (ref-faithful)
+    reinit_free: bool = False
+    prune_freq: int = 20
+    seed: int = 0
+
+
+@dataclasses.dataclass
+class TaskReport:
+    task_id: int
+    name: str
+    pick_acc: float
+    final_acc: float
+    chosen_ratio: float
+    ratio_to_acc: Dict[float, float]
+    width_mult: float
+    grew: int
+    images_per_sec: float
+
+
+def run_task(
+    state: CPGState,
+    name: str,
+    data: Dict,
+    cfg: TrainConfig,
+    seq: SequenceConfig,
+    goal_acc: Optional[float] = None,
+    augment_fn=None,
+    preprocess_fn=None,
+    record_path: Optional[str] = None,
+) -> TaskReport:
+    """One full CPG task cycle: pick (train) -> [grow+retry] -> compact."""
+    model_fn, _ = get_model(state.arch)
+    rng = jax.random.PRNGKey(seq.seed + state.num_tasks + 1)
+    pre_task = snapshot(state)
+    grew = 0
+
+    # ---- PICK (train masks + free capacity), growing on goal miss ----------
+    while True:
+        task_id = start_task(state, name, data["num_classes"], rng,
+                             reinit_free=seq.reinit_free)
+        mgr = Manager(
+            state, model_fn, task_id, data, cfg, batch_size=seq.batch_size,
+            augment_fn=augment_fn, preprocess_fn=preprocess_fn, seed=seq.seed,
+        )
+        res = mgr.train(seq.finetune_epochs, base_lr=seq.lr)
+        pick_acc = res.acc
+        goal = (goal_acc - seq.allow_acc_diff) if goal_acc is not None else None
+        log.info("task %d (%s): pick acc=%.4f goal=%s mult=%.2f",
+                 task_id, name, pick_acc, goal, state.width_mult)
+        if goal is None or pick_acc >= goal:
+            break
+        new_mult = round(state.width_mult + seq.growth_step, 4)
+        if new_mult > seq.max_width_mult + 1e-9:
+            if seq.on_goal_miss == "abort":
+                raise RuntimeError(
+                    f"task {name}: goal {goal:.4f} unreachable at max width "
+                    f"multiplier {seq.max_width_mult}")
+            log.warning("task %s: accepting best-effort acc %.4f", name, pick_acc)
+            break
+        # GROW: rollback this task, widen, redo the pick
+        grew += 1
+        state.__dict__.update(snapshot(pre_task).__dict__)
+        grow_state(state, new_mult, rng)
+        log.info("task %s: growing width multiplier -> %.2f", name, new_mult)
+
+    # ---- COMPACT: walk prune ratios, keep the largest meeting the goal -----
+    goal = (goal_acc - seq.allow_acc_diff) if goal_acc is not None else None
+    post_pick = snapshot(state)
+    ratio_to_acc: Dict[float, float] = {}
+    best_ratio, best_state, best_acc = 0.0, post_pick, pick_acc
+    for ratio in seq.prune_ratios:
+        if seq.compact_mode == "restart":
+            state.__dict__.update(snapshot(post_pick).__dict__)
+            mgr = Manager(state, model_fn, task_id, data, cfg,
+                          batch_size=seq.batch_size, augment_fn=augment_fn,
+                          preprocess_fn=preprocess_fn, seed=seq.seed)
+        res = mgr.train(
+            seq.prune_epochs + seq.retrain_epochs, base_lr=seq.lr * 0.1,
+            prune_to=ratio, prune_freq=seq.prune_freq,
+            prune_end_frac=seq.prune_epochs
+            / max(seq.prune_epochs + seq.retrain_epochs, 1),
+        )
+        ratio_to_acc[ratio] = res.acc
+        log.info("task %s: ratio %.2f -> acc %.4f", name, ratio, res.acc)
+        if goal is None or res.acc >= goal:
+            best_ratio, best_acc = ratio, res.acc
+            best_state = snapshot(state)
+        elif seq.compact_mode == "incremental":
+            break  # monotone: more pruning won't recover the goal
+
+    state.__dict__.update(best_state.__dict__)
+    state.tasks[task_id].meta.update(
+        ratio_to_acc={str(k): v for k, v in ratio_to_acc.items()},
+        chosen_ratio=best_ratio, pick_acc=pick_acc, final_acc=best_acc,
+    )
+    if record_path:
+        os.makedirs(os.path.dirname(record_path) or ".", exist_ok=True)
+        with open(record_path, "w") as f:
+            json.dump({str(k): v for k, v in ratio_to_acc.items()}, f)
+
+    return TaskReport(
+        task_id=task_id, name=name, pick_acc=pick_acc, final_acc=best_acc,
+        chosen_ratio=best_ratio, ratio_to_acc=ratio_to_acc,
+        width_mult=state.width_mult, grew=grew,
+        images_per_sec=res.images_per_sec,
+    )
+
+
+def run_sequence(
+    arch: str,
+    tasks: Dict[str, Dict],
+    cfg: Optional[TrainConfig] = None,
+    seq: Optional[SequenceConfig] = None,
+    goals: Optional[Dict[str, float]] = None,
+    augment_fn=None,
+    preprocess_fn=None,
+    rng=None,
+    width_mult: float = 1.0,
+    record_dir: Optional[str] = None,
+) -> Tuple[CPGState, List[TaskReport]]:
+    """The whole multi-task CPG run (= the reference's experiment1 pipeline)."""
+    cfg = cfg or TrainConfig()
+    seq = seq or SequenceConfig()
+    rng = jax.random.PRNGKey(seq.seed) if rng is None else rng
+    state = init_state(arch, rng, width_mult=width_mult)
+    reports = []
+    for name, data in tasks.items():
+        rec = (os.path.join(record_dir, f"ratio_acc_{name}.json")
+               if record_dir else None)
+        rep = run_task(
+            state, name, data, cfg, seq,
+            goal_acc=(goals or {}).get(name), augment_fn=augment_fn,
+            preprocess_fn=preprocess_fn, record_path=rec,
+        )
+        reports.append(rep)
+        log.info(
+            "task %d/%s done: acc=%.4f ratio=%.2f mult=%.2f free=%.3f",
+            rep.task_id, name, rep.final_acc, rep.chosen_ratio,
+            rep.width_mult, float(free_ratio(state.ownership)),
+        )
+    return state, reports

@@ -1,0 +1,157 @@
+"""The jitted CPG train/eval step: everything fused into one XLA program.
+
+Replaces the reference's per-batch eager pipeline (ref:CPG_*_main*.py
+Manager.train: forward -> backward -> `pruner.do_weight_decay_and_make_grads_
+zero()` (a Python sweep over every parameter, every step) -> two optimizer
+steps). Here one donated jit fuses: on-device augmentation -> piggymask
+binarize -> masked forward -> loss -> grads -> ownership gating + selective
+weight decay -> SGD(weights)+Adam(piggymasks) updates -> released-weights
+re-zeroing (ref `make_pruned_zero`).
+
+Shapes/ownership/task id are traced values, so one compiled program serves
+every task at a given (arch, width multiplier, num_classes) and every prune
+ratio — no recompile inside the compact loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.gating import gate_and_decay, gate_piggymask_grads
+from ..core.ownership import FREE
+from ..models import framework as fw
+from ..ops.binarize import DEFAULT_THRESHOLD
+from ..ops.masked import effective_params
+from .losses import accuracy, cross_entropy
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 0.01                # SGD lr for weights (ref --lr)
+    lr_mask: float = 1e-4           # Adam lr for piggymasks (ref --lr_mask)
+    momentum: float = 0.9
+    weight_decay: float = 4e-5      # applied ONLY to current-task weights
+    threshold: float = DEFAULT_THRESHOLD
+    compute_dtype: Any = jnp.bfloat16  # MXU-friendly; masking happens in f32
+    label_smoothing: float = 0.0
+
+
+def make_optimizers(cfg: TrainConfig):
+    """SGD+momentum for weights/private (lr injectable at runtime), Adam for
+    piggymasks (ref:utils/__init__.py `Optimizers` container)."""
+    opt_w = optax.inject_hyperparams(optax.sgd)(
+        learning_rate=cfg.lr, momentum=cfg.momentum
+    )
+    opt_pm = optax.inject_hyperparams(optax.adam)(learning_rate=cfg.lr_mask)
+    return opt_w, opt_pm
+
+
+def set_lr(opt_state, lr):
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return opt_state
+
+
+def make_train_step(
+    model_fn: Callable,
+    *,
+    num_classes: int,
+    mult: float,
+    has_piggymask: bool,
+    cfg: TrainConfig,
+    augment_fn: Optional[Callable] = None,
+    loss_fn: Callable = cross_entropy,
+):
+    """Build the donated, jitted train step.
+
+    step(shared, piggymask, private, bn_state, opt_w_state, opt_pm_state,
+         ownership, task_id, x, y, rng) -> (new states..., metrics)
+    """
+    opt_w, opt_pm = make_optimizers(cfg)
+
+    def step(shared, piggymask, private, bn_state, opt_w_state, opt_pm_state,
+             ownership, task_id, x, y, rng):
+        if augment_fn is not None:
+            x = augment_fn(x, rng)
+
+        def compute_loss(shared, piggymask, private):
+            eff = effective_params(
+                shared, ownership, piggymask if has_piggymask else None,
+                task_id, cfg.threshold, compute_dtype=cfg.compute_dtype,
+            )
+            logits, new_bn = fw.apply(
+                model_fn, eff, private, bn_state, x, train=True,
+                compute_dtype=cfg.compute_dtype, num_classes=num_classes,
+                mult=mult,
+            )
+            return loss_fn(logits, y), (logits, new_bn)
+
+        (loss, (logits, new_bn)), grads = jax.value_and_grad(
+            compute_loss, argnums=(0, 1, 2), has_aux=True
+        )(shared, piggymask, private)
+
+        # Ownership gating: prior-task weights get EXACTLY zero grad; weight
+        # decay only on current-task entries (ref:pruner.py
+        # do_weight_decay_and_make_grads_zero).
+        g_shared = gate_and_decay(grads[0], shared, ownership, task_id,
+                                  cfg.weight_decay)
+        wp_updates, opt_w_state = opt_w.update(
+            {"shared": g_shared, "private": grads[2]},
+            opt_w_state,
+            {"shared": shared, "private": private},
+        )
+        shared = optax.apply_updates(shared, wp_updates["shared"])
+        private = optax.apply_updates(private, wp_updates["private"])
+
+        if has_piggymask:
+            g_pm = gate_piggymask_grads(grads[1], ownership, task_id)
+            pm_updates, opt_pm_state = opt_pm.update(g_pm, opt_pm_state, piggymask)
+            piggymask = optax.apply_updates(piggymask, pm_updates)
+
+        # Keep released/free weights pinned at zero (ref make_pruned_zero):
+        # momentum could otherwise drift invisible weights off zero.
+        shared = jax.tree.map(
+            lambda w, m: jnp.where(m == FREE, jnp.zeros((), w.dtype), w),
+            shared, ownership,
+        )
+
+        metrics = {"loss": loss, "acc": accuracy(logits, y)}
+        return (shared, piggymask, private, new_bn, opt_w_state, opt_pm_state,
+                metrics)
+
+    return jax.jit(step, donate_argnums=(0, 1, 2, 3, 4, 5)), (opt_w, opt_pm)
+
+
+def make_eval_step(
+    model_fn: Callable,
+    *,
+    num_classes: int,
+    mult: float,
+    has_piggymask: bool,
+    cfg: TrainConfig,
+    preprocess_fn: Optional[Callable] = None,
+):
+    """Task-conditioned inference step (ref --mode inference, SURVEY §3.4):
+    only weights with 0 < ownership <= task_id are visible, prior entries
+    gated by the task's binarized piggymask; task-private BN stats/head."""
+
+    def step(shared, piggymask, private, bn_state, ownership, task_id, x, y):
+        if preprocess_fn is not None:
+            x = preprocess_fn(x)
+        eff = effective_params(
+            shared, ownership, piggymask if has_piggymask else None, task_id,
+            cfg.threshold, compute_dtype=cfg.compute_dtype,
+        )
+        logits, _ = fw.apply(
+            model_fn, eff, private, bn_state, x, train=False,
+            compute_dtype=cfg.compute_dtype, num_classes=num_classes, mult=mult,
+        )
+        return logits, {"acc_sum": (jnp.argmax(logits, -1) == y).sum(),
+                        "loss": cross_entropy(logits, y)}
+
+    return jax.jit(step)

@@ -1,0 +1,68 @@
+"""Full CPG sequence driver: multi-task run with ratio->acc record + exact
+retention of every earlier task (the reference's experiment1 loop in-process)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cpg_tpu.core.ownership import free_ratio
+from cpg_tpu.inference import predict
+from cpg_tpu.train.sequence import SequenceConfig, run_sequence
+from cpg_tpu.train.step import TrainConfig
+
+from .helpers import norm_augment, normalize01, synthetic_task, tiny_cnn  # noqa: F401
+
+
+def test_run_sequence_three_tasks(tmp_path):
+    tasks = {
+        "t1": synthetic_task(0),
+        "t2": synthetic_task(5, num_classes=3),
+        "t3": synthetic_task(9, num_classes=5),
+    }
+    cfg = TrainConfig(lr=0.05, lr_mask=1e-3, compute_dtype=jnp.float32)
+    seq = SequenceConfig(
+        finetune_epochs=6, prune_epochs=2, retrain_epochs=2,
+        prune_ratios=(0.2, 0.4, 0.6), batch_size=32, lr=0.05,
+        prune_freq=5, seed=0,
+    )
+    state, reports = run_sequence(
+        "tiny_cnn", tasks, cfg, seq, augment_fn=norm_augment,
+        preprocess_fn=normalize01, record_dir=str(tmp_path),
+    )
+
+    assert [r.name for r in reports] == ["t1", "t2", "t3"]
+    assert state.num_tasks == 3
+    for r in reports:
+        assert r.final_acc > 0.55, f"{r.name}: acc={r.final_acc}"
+        assert r.ratio_to_acc, "ratio->acc record missing"
+        assert r.chosen_ratio >= 0.2  # some compaction happened (no goal set)
+    # record artifacts exist (public parity artifact)
+    assert (tmp_path / "ratio_acc_t1.json").exists()
+
+    # every task still owns weights; last task freed capacity for the future
+    assert float(free_ratio(state.ownership)) > 0.05
+
+    # retention: each task's current prediction matches a fresh eval (frozen)
+    for tid, name in [(1, "t1"), (2, "t2"), (3, "t3")]:
+        x = normalize01(jnp.asarray(tasks[name]["test_x"][:32]))
+        y = tasks[name]["test_y"][:32]
+        acc = float((np.argmax(np.array(predict(state, tid, x)), 1) == y).mean())
+        assert acc > 0.5, f"task {name} forgotten: acc={acc}"
+
+
+def test_goal_triggers_growth():
+    # a goal no tiny run can reach forces the grow path; max mult caps it and
+    # 'accept' policy takes best effort
+    tasks = {"t1": synthetic_task(0), "t2": synthetic_task(3, num_classes=3)}
+    cfg = TrainConfig(lr=0.05, compute_dtype=jnp.float32)
+    seq = SequenceConfig(
+        finetune_epochs=2, prune_epochs=1, retrain_epochs=1,
+        prune_ratios=(0.2,), batch_size=32, lr=0.05, prune_freq=5,
+        growth_step=0.5, max_width_mult=1.5, on_goal_miss="accept", seed=0,
+    )
+    state, reports = run_sequence(
+        "tiny_cnn", tasks, cfg, seq, goals={"t2": 1.01},  # unreachable
+        augment_fn=norm_augment, preprocess_fn=normalize01,
+    )
+    assert reports[1].grew >= 1
+    assert state.width_mult == 1.5
