@@ -114,13 +114,15 @@ def sconv(
     w = ctx.shared_param(f"{name}/kernel", (kernel, kernel, cin, features), kernel_init)
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
+    # output dtype == compute dtype so fwd/bwd conv dtypes agree; the TPU MXU
+    # accumulates in f32 internally either way, and BN upcasts to f32 next.
     y = jax.lax.conv_general_dilated(
         x.astype(ctx.compute_dtype),
         w.astype(ctx.compute_dtype),
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=ctx.compute_dtype,
     )
     if use_bias:
         b = ctx.private_param(f"{name}/bias", (features,), lambda r, s: jnp.zeros(s))
@@ -141,7 +143,7 @@ def sdense(
     y = jnp.dot(
         x.astype(ctx.compute_dtype),
         w.astype(ctx.compute_dtype),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=ctx.compute_dtype,
     )
     if use_bias:
         b = ctx.private_param(f"{name}/bias", (features,), lambda r, s: jnp.zeros(s))

@@ -1,0 +1,96 @@
+"""Device-mesh parallelism for the CPG train step.
+
+The reference has NO distributed story (SURVEY §2: optional single-process
+nn.DataParallel only). The TPU-native replacement: jit auto-SPMD over a
+`jax.sharding.Mesh` —
+
+  * `data` axis: batch-sharded inputs; gradient/metric reductions become ICI
+    all-reduces inserted by XLA (the NCCL-allreduce analogue). BN batch stats
+    are computed with global means -> cross-replica SyncBN for free.
+  * `model` axis (optional, for wide grown networks): sharable kernels sharded
+    along their output-channel dimension (conv HWIO axis 3, dense axis 1) —
+    TP-flavored masked conv whose mask/ownership/piggymask shard identically
+    with the weight, so binarize/select/gating stay local; XLA partitions the
+    convs and all-gathers activations where needed.
+
+State (params, masks, optimizer) is replicated unless `model_axis_size > 1`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n_total = len(devices) if n_data is None else n_data * n_model
+    n_data = n_total // n_model
+    dev = np.asarray(devices[:n_total]).reshape(n_data, n_model)
+    return Mesh(dev, ("data", "model"))
+
+
+def _kernel_spec(name: str, ndim: int, model_sharded: bool) -> P:
+    """Output-channel sharding for sharable kernels (last axis of HWIO conv
+    and (in,out) dense); replicated otherwise."""
+    if not model_sharded:
+        return P()
+    return P(*([None] * (ndim - 1) + ["model"]))
+
+
+def shared_shardings(mesh: Mesh, shared, model_sharded: bool = False):
+    """Shardings for shared weights AND their parallel pytrees (ownership,
+    piggymask — same shapes, same placement)."""
+    return jax.tree.map(
+        lambda w: NamedSharding(
+            mesh, _kernel_spec("", w.ndim, model_sharded and w.shape[-1] % mesh.shape["model"] == 0)
+        ),
+        shared,
+    )
+
+
+def replicated(mesh: Mesh):
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh):
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_batch(mesh: Mesh, x, y):
+    """Place a host batch onto the mesh, sharded along the data axis."""
+    bs = batch_sharding(mesh)
+    return jax.device_put(x, bs), jax.device_put(y, bs)
+
+
+def place_state(mesh: Mesh, tree, sharding=None):
+    """Replicate (or custom-shard) a state pytree across the mesh."""
+    if sharding is None:
+        sharding = replicated(mesh)
+    if isinstance(sharding, NamedSharding):
+        return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)
+    return jax.tree.map(jax.device_put, tree, sharding)
+
+
+def make_parallel_train_step(step_fn, mesh: Mesh, model_sharded: bool = False):
+    """Re-jit a built train step with mesh shardings.
+
+    `step_fn` is the UNJITTED step signature from train/step.py
+    (shared, piggymask, private, bn_state, opt_w, opt_pm, ownership, task_id,
+    x, y, rng). Inputs x/y are data-sharded; everything else replicated (or
+    model-sharded kernels). XLA inserts psum for grads/metrics/BN stats.
+    """
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    # shardings resolved lazily per-arg by jit when given as trees of
+    # NamedSharding; replicated for state, data-sharded for the batch.
+    in_shardings = (rep, rep, rep, rep, rep, rep, rep, rep, bsh, bsh, rep)
+    return jax.jit(
+        step_fn,
+        in_shardings=in_shardings,
+        donate_argnums=(0, 1, 2, 3, 4, 5),
+    )

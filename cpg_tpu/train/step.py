@@ -57,7 +57,7 @@ def set_lr(opt_state, lr):
     return opt_state
 
 
-def make_train_step(
+def build_train_step(
     model_fn: Callable,
     *,
     num_classes: int,
@@ -67,7 +67,8 @@ def make_train_step(
     augment_fn: Optional[Callable] = None,
     loss_fn: Callable = cross_entropy,
 ):
-    """Build the donated, jitted train step.
+    """Build the UNJITTED step (for custom jit/pjit wrapping — see
+    parallel/mesh.py) plus its optimizers.
 
     step(shared, piggymask, private, bn_state, opt_w_state, opt_pm_state,
          ownership, task_id, x, y, rng) -> (new states..., metrics)
@@ -124,7 +125,13 @@ def make_train_step(
         return (shared, piggymask, private, new_bn, opt_w_state, opt_pm_state,
                 metrics)
 
-    return jax.jit(step, donate_argnums=(0, 1, 2, 3, 4, 5)), (opt_w, opt_pm)
+    return step, (opt_w, opt_pm)
+
+
+def make_train_step(model_fn: Callable, **kwargs):
+    """The donated, jitted single-host train step (see build_train_step)."""
+    step, opts = build_train_step(model_fn, **kwargs)
+    return jax.jit(step, donate_argnums=(0, 1, 2, 3, 4, 5)), opts
 
 
 def make_eval_step(

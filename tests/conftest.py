@@ -1,20 +1,23 @@
-"""Test config: force an 8-virtual-device CPU backend BEFORE jax imports.
+"""Test config: force an 8-virtual-device CPU backend.
 
 This is the multi-chip-without-a-cluster strategy (SURVEY.md §4): pjit /
-shard_map tests run against a faked 8-device mesh on CPU, the TPU analogue of
-a fake backend. Must run before any jax import, which pytest guarantees for
-conftest.
+shard_map tests run against a faked 8-device mesh on CPU — the TPU analogue
+of a fake backend — and unit tests stay deterministic/fast.
+
+NOTE: this environment's sitecustomize registers the experimental `axon` TPU
+plugin and calls jax.config.update("jax_platforms", "axon,cpu") at interpreter
+start, which overrides JAX_PLATFORMS env vars. We must undo it via jax.config
+AFTER importing jax (backends initialize lazily, so this is safe as long as
+no jax op ran yet).
 """
 
-import os
+import jax
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
-import jax  # noqa: E402
-
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)
+
+
+def pytest_report_header(config):
+    return (f"jax backend: {jax.default_backend()} "
+            f"devices: {jax.device_count()}")
