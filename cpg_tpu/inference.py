@@ -19,8 +19,11 @@ from .ops.masked import effective_params
 
 
 def predict(state: CPGState, task_id: int, x, preprocess_fn=None,
-            compute_dtype=None):
-    """Logits for `x` under task `task_id`'s view of the network."""
+            compute_dtype=None, model_kwargs=None):
+    """Logits for `x` under task `task_id`'s view of the network.
+
+    `model_kwargs` overrides the task's stored forward kwargs — e.g.
+    head_type='none' to extract SphereNet embeddings for LFW verification."""
     task = state.tasks[task_id]
     model_fn, _ = get_model(state.arch)
     if preprocess_fn is not None:
@@ -29,10 +32,12 @@ def predict(state: CPGState, task_id: int, x, preprocess_fn=None,
         state.shared, state.ownership, task.piggymask, task_id,
         state.threshold, compute_dtype=compute_dtype,
     )
+    mkw = model_kwargs if model_kwargs is not None else (
+        task.meta.get("model_kwargs") or {})
     logits, _ = fw.apply(
         model_fn, eff, task.private, task.bn_state, x, train=False,
         compute_dtype=compute_dtype or x.dtype,
-        num_classes=task.num_classes, mult=state.width_mult,
+        num_classes=task.num_classes, mult=state.width_mult, **mkw,
     )
     return logits
 
@@ -43,6 +48,7 @@ def make_predict_fn(state: CPGState, task_id: int, preprocess_fn=None,
     task = state.tasks[task_id]
     model_fn, _ = get_model(state.arch)
     mult, nc, thr = state.width_mult, task.num_classes, state.threshold
+    mkw = task.meta.get("model_kwargs") or {}
 
     @jax.jit
     def fn(shared, ownership, piggymask, private, bn_state, x):
@@ -52,6 +58,7 @@ def make_predict_fn(state: CPGState, task_id: int, preprocess_fn=None,
         logits, _ = fw.apply(
             model_fn, eff, private, bn_state, xx, train=False,
             compute_dtype=compute_dtype or xx.dtype, num_classes=nc, mult=mult,
+            **mkw,
         )
         return logits
 

@@ -11,6 +11,20 @@ import jax
 import jax.numpy as jnp
 
 
+def class_logits(out):
+    """Model outputs may be plain logits or an (cos_theta, phi_theta) tuple
+    from an AngleLinear head — classification always uses the cosine part."""
+    return out[0] if isinstance(out, tuple) else out
+
+
+def call_loss(loss_fn, logits, labels, it):
+    """Dispatch to loss_fn, passing the global step to losses that anneal
+    (AngleLoss); plain losses take (logits, labels)."""
+    if getattr(loss_fn, "wants_step", False):
+        return loss_fn(logits, labels, it)
+    return loss_fn(class_logits(logits), labels)
+
+
 def cross_entropy(logits, labels):
     logp = jax.nn.log_softmax(logits.astype(jnp.float32))
     return -jnp.take_along_axis(logp, labels[:, None], axis=1).mean()
@@ -20,19 +34,26 @@ def accuracy(logits, labels):
     return (jnp.argmax(logits, axis=-1) == labels).mean()
 
 
-def angle_loss(cos_theta, phi_theta, labels, it, lambda_min=5.0, lambda_base=1500.0,
-               gamma=0.12, power=1.0):
+def make_angle_loss(lambda_min=5.0, lambda_base=1500.0, gamma=0.12, power=1.0):
     """SphereFace A-Softmax annealed loss (ref:models/spherenet.py AngleLoss).
 
-    cos_theta: (N, C) cosine logits scaled by ||x||;
-    phi_theta: (N, C) psi(theta) margin logits scaled by ||x||;
-    blended output on the target class: (cos + lamb*cos -> anneal toward phi):
+    The returned loss takes the AngleLinear head output
+    (cos_theta, phi_theta) — both scaled by ||x|| — plus labels and the
+    global step `it`; the margin term anneals in via
+        lambda(it) = max(lambda_min, lambda_base / (1 + gamma*it)^power)
         f_y = (lambda * cos_y + phi_y) / (1 + lambda)
     """
-    lamb = jnp.maximum(lambda_min, lambda_base / (1.0 + gamma * it) ** power)
-    onehot = jax.nn.one_hot(labels, cos_theta.shape[-1], dtype=cos_theta.dtype)
-    blended = cos_theta - onehot * cos_theta / (1.0 + lamb) + onehot * phi_theta / (
-        1.0 + lamb
-    )
-    logp = jax.nn.log_softmax(blended.astype(jnp.float32))
-    return -jnp.take_along_axis(logp, labels[:, None], axis=1).mean()
+
+    def loss(out, labels, it):
+        cos_theta, phi_theta = out
+        lamb = jnp.maximum(
+            lambda_min, lambda_base / (1.0 + gamma * it) ** power)
+        onehot = jax.nn.one_hot(labels, cos_theta.shape[-1],
+                                dtype=cos_theta.dtype)
+        blended = (cos_theta - onehot * cos_theta / (1.0 + lamb)
+                   + onehot * phi_theta / (1.0 + lamb))
+        logp = jax.nn.log_softmax(blended.astype(jnp.float32))
+        return -jnp.take_along_axis(logp, labels[:, None], axis=1).mean()
+
+    loss.wants_step = True
+    return loss

@@ -72,6 +72,7 @@ class Manager:
         self.lr_schedule = lr_schedule
         self.np_rng = np.random.RandomState(seed)
         self.rng = jax.random.PRNGKey(seed)
+        self.it = 0  # global step (drives annealed losses, e.g. A-Softmax)
         self.has_piggymask = self.task.piggymask is not None
 
         kwargs = dict(
@@ -79,6 +80,7 @@ class Manager:
             mult=state.width_mult,
             has_piggymask=self.has_piggymask,
             cfg=cfg,
+            model_kwargs=self.task.meta.get("model_kwargs"),
         )
         extra = {} if loss_fn is None else {"loss_fn": loss_fn}
         self.train_step, (self.opt_w, self.opt_pm) = make_train_step(
@@ -154,9 +156,10 @@ class Manager:
                 (shared, pm, private, bn_state, opt_w_state, opt_pm_state,
                  metrics) = self.train_step(
                     shared, pm, private, bn_state, opt_w_state, opt_pm_state,
-                    ownership, self.task_id, bx, by, sub,
+                    ownership, self.task_id, bx, by, sub, self.it,
                 )
                 step_i += 1
+                self.it += 1
             losses.append(float(metrics["loss"]))
             accs.append(float(metrics["acc"]))
         jax.block_until_ready(shared)
@@ -183,21 +186,32 @@ class Manager:
         )
 
     def eval(self, task_id: Optional[int] = None) -> float:
-        """Task-conditioned top-1 on the task's test split."""
+        """Task-conditioned top-1 on the task's test split.
+
+        Batches are padded to the static batch size (XLA shapes) and only the
+        valid prefix is counted — a test split smaller than the batch size
+        must not silently evaluate to zero samples."""
         task_id = self.task_id if task_id is None else task_id
         task = self.state.tasks[task_id]
         pm = task.piggymask if task.piggymask is not None else {}
+        x, y = self.data["test_x"], self.data["test_y"]
+        n, bs = len(x), self.batch_size
         correct, total = 0, 0
-        for bx, by in iterate_batches(
-            self.data["test_x"], self.data["test_y"], self.batch_size,
-            self.np_rng, train=False,
-        ):
-            _, m = self.eval_step(
+        for s in range(0, n, bs):
+            bx, by = x[s:s + bs], y[s:s + bs]
+            nvalid = len(by)
+            if nvalid < bs:  # pad to the compiled batch shape
+                pad = bs - nvalid
+                bx = np.concatenate([bx, np.repeat(bx[-1:], pad, axis=0)])
+                by = np.concatenate([by, np.repeat(by[-1:], pad, axis=0)])
+            logits, _ = self.eval_step(
                 self.state.shared, pm, task.private, task.bn_state,
                 self.state.ownership, task_id, bx, by,
             )
-            correct += int(m["acc_sum"])
-            total += len(by)
+            cl = logits[0] if isinstance(logits, tuple) else logits
+            pred = np.asarray(jnp.argmax(cl, -1))[:nvalid]
+            correct += int((pred == y[s:s + nvalid]).sum())
+            total += nvalid
         return correct / max(total, 1)
 
     # -- one-shot prune (ref --one_shot_prune_perc) --------------------------

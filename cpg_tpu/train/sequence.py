@@ -79,6 +79,7 @@ def start_task(
     num_classes: int,
     rng,
     reinit_free: bool = False,
+    model_kwargs: dict = None,
 ) -> int:
     """Add task k: claim free capacity (ref make_finetuning_mask), create the
     piggymask over prior-task weights (k>1), fresh task-private params."""
@@ -101,11 +102,12 @@ def start_task(
     )
     _, private, bn_state = fw.init(
         rng, model_fn, jnp.zeros((1, *in_shape)), num_classes=num_classes,
-        mult=state.width_mult,
+        mult=state.width_mult, **(model_kwargs or {}),
     )
     state.tasks[task_id] = TaskEntry(
         name=name, num_classes=num_classes, piggymask=piggymask,
         private=private, bn_state=bn_state,
+        meta={"model_kwargs": model_kwargs} if model_kwargs else {},
     )
     return task_id
 
@@ -123,7 +125,8 @@ def grow_state(state: CPGState, new_mult: float, rng,
     for tid, t in state.tasks.items():
         t.piggymask = new_pms[tid]
         _, fresh_priv, fresh_bn = fw.init(
-            rng, model_fn, x, num_classes=t.num_classes, mult=new_mult)
+            rng, model_fn, x, num_classes=t.num_classes, mult=new_mult,
+            **(t.meta.get("model_kwargs") or {}))
         t.private = grow_mod.grow_private(t.private, fresh_priv)
         t.bn_state = grow_mod.grow_private(t.bn_state, fresh_bn)
     return state
@@ -182,10 +185,12 @@ def run_task(
     # ---- PICK (train masks + free capacity), growing on goal miss ----------
     while True:
         task_id = start_task(state, name, data["num_classes"], rng,
-                             reinit_free=seq.reinit_free)
+                             reinit_free=seq.reinit_free,
+                             model_kwargs=data.get("model_kwargs"))
         mgr = Manager(
             state, model_fn, task_id, data, cfg, batch_size=seq.batch_size,
             augment_fn=augment_fn, preprocess_fn=preprocess_fn, seed=seq.seed,
+            loss_fn=data.get("loss_fn"),
         )
         res = mgr.train(seq.finetune_epochs, base_lr=seq.lr)
         pick_acc = res.acc
@@ -218,7 +223,8 @@ def run_task(
             state.__dict__.update(snapshot(post_pick).__dict__)
             mgr = Manager(state, model_fn, task_id, data, cfg,
                           batch_size=seq.batch_size, augment_fn=augment_fn,
-                          preprocess_fn=preprocess_fn, seed=seq.seed)
+                          preprocess_fn=preprocess_fn, seed=seq.seed,
+                          loss_fn=data.get("loss_fn"))
         res = mgr.train(
             seq.prune_epochs + seq.retrain_epochs, base_lr=seq.lr * 0.1,
             prune_to=ratio, prune_freq=seq.prune_freq,

@@ -28,7 +28,7 @@ from ..core.ownership import FREE
 from ..models import framework as fw
 from ..ops.binarize import DEFAULT_THRESHOLD
 from ..ops.masked import effective_params
-from .losses import accuracy, cross_entropy
+from .losses import accuracy, call_loss, class_logits, cross_entropy
 
 
 @dataclasses.dataclass(frozen=True)
@@ -66,6 +66,7 @@ def build_train_step(
     cfg: TrainConfig,
     augment_fn: Optional[Callable] = None,
     loss_fn: Callable = cross_entropy,
+    model_kwargs: Optional[Dict] = None,
 ):
     """Build the UNJITTED step (for custom jit/pjit wrapping — see
     parallel/mesh.py) plus its optimizers.
@@ -74,9 +75,10 @@ def build_train_step(
          ownership, task_id, x, y, rng) -> (new states..., metrics)
     """
     opt_w, opt_pm = make_optimizers(cfg)
+    model_kwargs = model_kwargs or {}
 
     def step(shared, piggymask, private, bn_state, opt_w_state, opt_pm_state,
-             ownership, task_id, x, y, rng):
+             ownership, task_id, x, y, rng, it=0):
         if augment_fn is not None:
             x = augment_fn(x, rng)
 
@@ -88,9 +90,9 @@ def build_train_step(
             logits, new_bn = fw.apply(
                 model_fn, eff, private, bn_state, x, train=True,
                 compute_dtype=cfg.compute_dtype, num_classes=num_classes,
-                mult=mult,
+                mult=mult, **model_kwargs,
             )
-            return loss_fn(logits, y), (logits, new_bn)
+            return call_loss(loss_fn, logits, y, it), (logits, new_bn)
 
         (loss, (logits, new_bn)), grads = jax.value_and_grad(
             compute_loss, argnums=(0, 1, 2), has_aux=True
@@ -121,7 +123,7 @@ def build_train_step(
             shared, ownership,
         )
 
-        metrics = {"loss": loss, "acc": accuracy(logits, y)}
+        metrics = {"loss": loss, "acc": accuracy(class_logits(logits), y)}
         return (shared, piggymask, private, new_bn, opt_w_state, opt_pm_state,
                 metrics)
 
@@ -142,10 +144,12 @@ def make_eval_step(
     has_piggymask: bool,
     cfg: TrainConfig,
     preprocess_fn: Optional[Callable] = None,
+    model_kwargs: Optional[Dict] = None,
 ):
     """Task-conditioned inference step (ref --mode inference, SURVEY §3.4):
     only weights with 0 < ownership <= task_id are visible, prior entries
     gated by the task's binarized piggymask; task-private BN stats/head."""
+    model_kwargs = model_kwargs or {}
 
     def step(shared, piggymask, private, bn_state, ownership, task_id, x, y):
         if preprocess_fn is not None:
@@ -157,8 +161,10 @@ def make_eval_step(
         logits, _ = fw.apply(
             model_fn, eff, private, bn_state, x, train=False,
             compute_dtype=cfg.compute_dtype, num_classes=num_classes, mult=mult,
+            **model_kwargs,
         )
-        return logits, {"acc_sum": (jnp.argmax(logits, -1) == y).sum(),
-                        "loss": cross_entropy(logits, y)}
+        cl = class_logits(logits)
+        return logits, {"acc_sum": (jnp.argmax(cl, -1) == y).sum(),
+                        "loss": cross_entropy(cl, y)}
 
     return jax.jit(step)
