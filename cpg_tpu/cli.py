@@ -1,0 +1,217 @@
+"""CLI — the reference's main scripts + experiment drivers as subcommands.
+
+Reference parity (SURVEY §1 L0/L1): where ivclab/CPG exposes
+CPG_cifar100_main_normal.py / CPG_imagenet_main.py / CPG_face_main.py +
+experiment*/ shell loops, this stack exposes
+
+    python -m cpg_tpu sequence  --experiment cifar100 ...   (the whole loop)
+    python -m cpg_tpu baseline  --experiment cifar100 ...   (goal accuracies)
+    python -m cpg_tpu packnet   --experiment cifar100 ...   (comparison row)
+    python -m cpg_tpu inference --checkpoint DIR --task-id K
+    python -m cpg_tpu bench
+
+The bash state machine is gone: ratio selection, growth and resume live in
+run_sequence (train/sequence.py); flags mirror the reference's argparse
+surface (--lr, --lr_mask, --weight_decay, --allow_acc_diff,
+--network_width_multiplier, --max_allowed_network_width_multiplier, ...).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import jax.numpy as jnp
+
+
+def _experiment_tasks(args):
+    """Resolve an experiment name to (arch, ordered task dict, aug, prep)."""
+    from .data import augment as A
+
+    if args.experiment == "cifar100":
+        from .data.cifar import task_splits
+
+        tasks = task_splits(synthetic_kwargs={
+            "n_train_per_class": args.synthetic_train_per_class,
+            "n_test_per_class": args.synthetic_test_per_class})
+        if args.num_tasks:
+            tasks = dict(list(tasks.items())[: args.num_tasks])
+        return ("vgg16_bn_cifar", tasks, A.cifar_train_augment,
+                A.cifar_eval_preprocess)
+    if args.experiment == "finegrained":
+        from .data.finegrained import FINEGRAINED_SPECS, finegrained_task
+
+        names = list(FINEGRAINED_SPECS)[: args.num_tasks or None]
+        tasks = {n: finegrained_task(n, max_classes=args.max_classes, seed=i)
+                 for i, n in enumerate(names)}
+        return ("resnet50", tasks, A.imagenet_train_augment,
+                A.imagenet_eval_preprocess)
+    if args.experiment == "face":
+        from .data.face import casia_task
+        from .train.losses import make_angle_loss
+
+        t = casia_task(seed=0)
+        t["loss_fn"] = make_angle_loss()
+        return ("spherenet20", {"casia": t}, A.face_train_augment,
+                A.face_eval_preprocess)
+    raise SystemExit(f"unknown experiment {args.experiment!r}")
+
+
+def _train_cfg(args):
+    from .train.step import TrainConfig
+
+    return TrainConfig(
+        lr=args.lr, lr_mask=args.lr_mask, weight_decay=args.weight_decay,
+        compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16"
+        else jnp.float32,
+    )
+
+
+def _seq_cfg(args):
+    from .train.sequence import SequenceConfig
+
+    return SequenceConfig(
+        finetune_epochs=args.finetune_epochs, prune_epochs=args.prune_epochs,
+        retrain_epochs=args.retrain_epochs,
+        prune_ratios=tuple(args.prune_ratios),
+        allow_acc_diff=args.allow_acc_diff, growth_step=args.growth_step,
+        max_width_mult=args.max_allowed_network_width_multiplier,
+        batch_size=args.batch_size, lr=args.lr, lr_mask=args.lr_mask,
+        checkpoint_dir=args.checkpoint_dir, seed=args.seed,
+        compact_mode=args.compact_mode,
+    )
+
+
+def _add_common(p):
+    p.add_argument("--experiment", default="cifar100",
+                   choices=["cifar100", "finegrained", "face"])
+    p.add_argument("--num-tasks", type=int, default=0,
+                   help="0 = all tasks of the experiment")
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--lr_mask", type=float, default=1e-4)
+    p.add_argument("--weight_decay", type=float, default=4e-5)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--finetune-epochs", type=int, default=30)
+    p.add_argument("--prune-epochs", type=int, default=10)
+    p.add_argument("--retrain-epochs", type=int, default=10)
+    p.add_argument("--prune-ratios", type=float, nargs="+",
+                   default=[0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+    p.add_argument("--allow_acc_diff", type=float, default=0.005)
+    p.add_argument("--growth-step", type=float, default=0.5)
+    p.add_argument("--network_width_multiplier", type=float, default=1.0)
+    p.add_argument("--max_allowed_network_width_multiplier", type=float,
+                   default=2.0)
+    p.add_argument("--compact-mode", default="incremental",
+                   choices=["incremental", "restart"])
+    p.add_argument("--goals-file", default=None,
+                   help="JSON {task: goal_acc} (ref --baseline_acc_file)")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--record-dir", default=None,
+                   help="ratio->acc JSON records "
+                        "(ref --pruning_ratio_to_acc_record_file)")
+    p.add_argument("--logfile", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--synthetic-train-per-class", type=int, default=100)
+    p.add_argument("--synthetic-test-per-class", type=int, default=20)
+    p.add_argument("--max-classes", type=int, default=None,
+                   help="cap synthetic fine-grained class counts")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="cpg_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    for cmd in ("sequence", "baseline", "packnet"):
+        p = sub.add_parser(cmd)
+        _add_common(p)
+    pi = sub.add_parser("inference")
+    pi.add_argument("--checkpoint", required=True)
+    pi.add_argument("--task-id", type=int, required=True)
+    pi.add_argument("--experiment", default="cifar100",
+                    choices=["cifar100", "finegrained", "face"])
+    pi.add_argument("--num-tasks", type=int, default=0)
+    pi.add_argument("--batch-size", type=int, default=128)
+    pi.add_argument("--synthetic-train-per-class", type=int, default=100)
+    pi.add_argument("--synthetic-test-per-class", type=int, default=20)
+    pi.add_argument("--max-classes", type=int, default=None)
+    sub.add_parser("bench")
+    args = parser.parse_args(argv)
+
+    from .utils import set_logger
+
+    set_logger(getattr(args, "logfile", None))
+
+    if args.cmd == "bench":
+        import bench
+
+        bench.main()
+        return 0
+
+    if args.cmd == "inference":
+        import numpy as np
+
+        from .inference import predict
+        from .utils.checkpoint import load_state
+
+        arch, tasks, _, prep = _experiment_tasks(args)
+        state = load_state(args.checkpoint)
+        task = state.tasks[args.task_id]
+        data = tasks[task.name]
+        correct = 0
+        x, y = data["test_x"], data["test_y"]
+        for s in range(0, len(x) - args.batch_size + 1, args.batch_size):
+            logits = predict(state, args.task_id,
+                             jnp.asarray(x[s:s + args.batch_size]),
+                             preprocess_fn=prep)
+            logits = logits[0] if isinstance(logits, tuple) else logits
+            correct += int((np.argmax(np.asarray(logits), 1)
+                            == y[s:s + args.batch_size]).sum())
+        total = (len(x) // args.batch_size) * args.batch_size
+        acc = correct / max(total, 1)
+        print(json.dumps({"task_id": args.task_id, "task": task.name,
+                          "top1": acc, "n": total}))
+        return 0
+
+    arch, tasks, aug, prep = _experiment_tasks(args)
+    goals = None
+    if args.goals_file and args.cmd != "baseline":  # baseline WRITES the file
+        with open(args.goals_file) as f:
+            goals = json.load(f)
+
+    if args.cmd == "baseline":
+        from .train.baselines import train_individual_baselines
+
+        out = train_individual_baselines(
+            arch, tasks, _train_cfg(args), epochs=args.finetune_epochs,
+            batch_size=args.batch_size, lr=args.lr, augment_fn=aug,
+            preprocess_fn=prep, seed=args.seed,
+            acc_file=args.goals_file or "baseline_acc.json")
+        print(json.dumps(out))
+        return 0
+
+    if args.cmd == "packnet":
+        from .train.baselines import run_packnet_sequence as runner
+    else:
+        from .train.sequence import run_sequence as runner
+
+    state, reports = runner(
+        arch, tasks, _train_cfg(args), _seq_cfg(args), goals=goals,
+        augment_fn=aug, preprocess_fn=prep,
+        width_mult=args.network_width_multiplier,
+        record_dir=args.record_dir,
+    )
+    summary = {
+        "avg_top1": sum(r.final_acc for r in reports) / max(len(reports), 1),
+        "final_width_mult": state.width_mult,
+        "tasks": [{"name": r.name, "top1": r.final_acc,
+                   "ratio": r.chosen_ratio, "grew": r.grew}
+                  for r in reports],
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,74 @@
+"""Baselines: individual per-task models and PackNet.
+
+Reference parity (SURVEY §2):
+  * Individual-model baseline (ref:experiment1/baseline_cifar100.sh + its main
+    script): trains one fresh model per task; the resulting accuracies become
+    the per-task goals CPG must meet (ref `--baseline_acc_file`).
+  * PackNet (ref:packnet_cifar100_main.py, ref:packnet_models/): prune-and-
+    freeze continual learning WITHOUT piggyback masks — new tasks reuse all
+    prior weights unmasked (frozen) plus the released capacity. In this stack
+    that is literally the CPG cycle with the piggymask pinned at its
+    above-threshold init and never trained (cfg.train_piggymask=False).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+
+from .manager import Manager
+from .sequence import SequenceConfig, init_state, run_sequence, start_task
+from .step import TrainConfig
+
+log = logging.getLogger("cpg_tpu")
+
+
+def train_individual_baselines(
+    arch: str,
+    tasks: Dict[str, Dict],
+    cfg: Optional[TrainConfig] = None,
+    epochs: int = 30,
+    batch_size: int = 128,
+    lr: Optional[float] = None,
+    augment_fn=None,
+    preprocess_fn=None,
+    seed: int = 0,
+    acc_file: Optional[str] = None,
+) -> Dict[str, float]:
+    """One fresh model per task -> {task: top1}; optionally writes the
+    baseline-acc file (the reference's logs/baseline_*_acc*.txt equivalent,
+    as JSON)."""
+    cfg = cfg or TrainConfig()
+    goals = {}
+    from ..models import get_model
+
+    model_fn, _ = get_model(arch)
+    for i, (name, data) in enumerate(tasks.items()):
+        state = init_state(arch, jax.random.PRNGKey(seed + i))
+        start_task(state, name, data["num_classes"],
+                   jax.random.PRNGKey(seed + 1000 + i),
+                   model_kwargs=data.get("model_kwargs"))
+        mgr = Manager(state, model_fn, 1, data, cfg, batch_size=batch_size,
+                      augment_fn=augment_fn, preprocess_fn=preprocess_fn,
+                      seed=seed, loss_fn=data.get("loss_fn"))
+        res = mgr.train(epochs, base_lr=lr)
+        goals[name] = res.acc
+        log.info("baseline %s: acc=%.4f", name, res.acc)
+    if acc_file:
+        os.makedirs(os.path.dirname(acc_file) or ".", exist_ok=True)
+        with open(acc_file, "w") as f:
+            json.dump(goals, f, indent=1)
+    return goals
+
+
+def run_packnet_sequence(arch, tasks, cfg: Optional[TrainConfig] = None,
+                         seq: Optional[SequenceConfig] = None, **kwargs):
+    """PackNet comparison row: CPG cycle with frozen all-ones piggymasks."""
+    cfg = cfg or TrainConfig()
+    cfg = dataclasses.replace(cfg, train_piggymask=False)
+    return run_sequence(arch, tasks, cfg, seq, **kwargs)

@@ -61,6 +61,7 @@ class Manager:
         loss_fn=None,
         seed: int = 0,
         lr_schedule: str = "cosine",
+        native_loader: bool = False,
     ):
         self.state = state
         self.model_fn = model_fn
@@ -87,7 +88,23 @@ class Manager:
             model_fn, augment_fn=augment_fn, **kwargs, **extra
         )
         self.eval_step = make_eval_step(model_fn, preprocess_fn=preprocess_fn, **kwargs)
+        self._batcher = None
+        if native_loader:
+            from ..data.native_loader import NativeBatcher, native_available
+
+            if native_available():
+                self._batcher = NativeBatcher(
+                    np.ascontiguousarray(data["train_x"]),
+                    data["train_y"], batch_size, seed=seed)
         self.reset_optimizers()
+
+    def _train_batches(self, steps_per_epoch):
+        """One epoch of training batches: native C++ prefetch ring when
+        enabled, NumPy gather otherwise."""
+        if self._batcher is not None:
+            return self._batcher.batches(steps_per_epoch)
+        return iterate_batches(self.data["train_x"], self.data["train_y"],
+                               self.batch_size, self.np_rng, train=True)
 
     # -- optimizer state ----------------------------------------------------
     def reset_optimizers(self):
@@ -137,10 +154,7 @@ class Manager:
         for epoch in range(epochs):
             opt_w_state = set_lr(
                 opt_w_state, _lr_at(base_lr, epoch, epochs, self.lr_schedule))
-            for bx, by in iterate_batches(
-                self.data["train_x"], self.data["train_y"], self.batch_size,
-                self.np_rng, train=True,
-            ):
+            for bx, by in self._train_batches(steps_per_epoch):
                 if (
                     prune_to is not None
                     and prune_begin <= step_i <= prune_end

@@ -150,6 +150,8 @@ class SequenceConfig:
     reinit_free: bool = False
     prune_freq: int = 20
     seed: int = 0
+    checkpoint_dir: Optional[str] = None  # orbax save at phase boundaries
+    resume: bool = True                # skip tasks with a final checkpoint
 
 
 @dataclasses.dataclass
@@ -275,7 +277,26 @@ def run_sequence(
     rng = jax.random.PRNGKey(seq.seed) if rng is None else rng
     state = init_state(arch, rng, width_mult=width_mult)
     reports = []
-    for name, data in tasks.items():
+    for ti, (name, data) in enumerate(tasks.items()):
+        # ---- resume: skip tasks whose final checkpoint exists --------------
+        if seq.checkpoint_dir and seq.resume:
+            from ..utils.checkpoint import load_state
+            ck = os.path.join(seq.checkpoint_dir, f"task{ti + 1:02d}_{name}")
+            if os.path.exists(os.path.join(ck, "cpg_meta.json")):
+                restored = load_state(ck)
+                if restored.num_tasks == ti + 1:
+                    state = restored
+                    m = restored.tasks[ti + 1].meta
+                    reports.append(TaskReport(
+                        task_id=ti + 1, name=name,
+                        pick_acc=m.get("pick_acc", float("nan")),
+                        final_acc=m.get("final_acc", float("nan")),
+                        chosen_ratio=m.get("chosen_ratio", 0.0),
+                        ratio_to_acc=m.get("ratio_to_acc", {}),
+                        width_mult=restored.width_mult, grew=0,
+                        images_per_sec=0.0))
+                    log.info("task %d/%s: resumed from %s", ti + 1, name, ck)
+                    continue
         rec = (os.path.join(record_dir, f"ratio_acc_{name}.json")
                if record_dir else None)
         rep = run_task(
@@ -284,6 +305,10 @@ def run_sequence(
             preprocess_fn=preprocess_fn, record_path=rec,
         )
         reports.append(rep)
+        if seq.checkpoint_dir:
+            from ..utils.checkpoint import save_state
+            save_state(state, os.path.join(
+                seq.checkpoint_dir, f"task{rep.task_id:02d}_{name}"))
         log.info(
             "task %d/%s done: acc=%.4f ratio=%.2f mult=%.2f free=%.3f",
             rep.task_id, name, rep.final_acc, rep.chosen_ratio,

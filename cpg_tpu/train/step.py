@@ -40,6 +40,8 @@ class TrainConfig:
     threshold: float = DEFAULT_THRESHOLD
     compute_dtype: Any = jnp.bfloat16  # MXU-friendly; masking happens in f32
     label_smoothing: float = 0.0
+    train_piggymask: bool = True  # False = PackNet mode: prior weights reused
+                                  # unmasked and frozen (ref:packnet_*_main.py)
 
 
 def make_optimizers(cfg: TrainConfig):
@@ -111,7 +113,7 @@ def build_train_step(
         shared = optax.apply_updates(shared, wp_updates["shared"])
         private = optax.apply_updates(private, wp_updates["private"])
 
-        if has_piggymask:
+        if has_piggymask and cfg.train_piggymask:
             g_pm = gate_piggymask_grads(grads[1], ownership, task_id)
             pm_updates, opt_pm_state = opt_pm.update(g_pm, opt_pm_state, piggymask)
             piggymask = optax.apply_updates(piggymask, pm_updates)

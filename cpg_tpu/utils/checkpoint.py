@@ -1,0 +1,96 @@
+"""Checkpointing: the CPG deliverable is the per-task mask checkpoint.
+
+Reference (ref:CPG_*_main*.py save_checkpoint/load_checkpoint): torch.save of
+{model state_dict, ownership `masks`, `shared_layer_info` (per-dataset
+piggymask/bias/BN stats/PReLU), dataset history, width multiplier} under
+per-task/per-multiplier folders.
+
+TPU-native: one orbax PyTree checkpoint per save — bit-exact round-trip of
+shared weights (f32), ownership masks (int8), every task's piggymask and
+private/BN collections — plus a JSON sidecar for the non-array metadata
+(arch, width multiplier, task names/classes/meta). Orbax gives atomic-rename
+durability and async-capable saves; mask selection must survive a round-trip
+bit-exactly (tested), because inference correctness IS the mask bits.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from ..core.state import CPGState, TaskEntry
+
+_META = "cpg_meta.json"
+
+
+def _to_tree(state: CPGState):
+    tasks = {}
+    for tid, t in state.tasks.items():
+        entry = {"private": t.private, "bn_state": t.bn_state}
+        if t.piggymask is not None:
+            entry["piggymask"] = t.piggymask
+        tasks[str(tid)] = entry
+    return {"shared": state.shared, "ownership": state.ownership,
+            "tasks": tasks}
+
+
+def save_state(state: CPGState, path: str) -> str:
+    """Write a full CPG checkpoint at `path` (a directory)."""
+    path = os.path.abspath(path)
+    ckpt = ocp.PyTreeCheckpointer()
+    ckpt.save(os.path.join(path, "tree"), _to_tree(state), force=True)
+    meta = {
+        "arch": state.arch,
+        "width_mult": state.width_mult,
+        "threshold": state.threshold,
+        "tasks": {
+            str(tid): {"name": t.name, "num_classes": t.num_classes,
+                       "meta": t.meta}
+            for tid, t in state.tasks.items()
+        },
+    }
+    with open(os.path.join(path, _META), "w") as f:
+        json.dump(meta, f, indent=1)
+    return path
+
+
+def load_state(path: str) -> CPGState:
+    path = os.path.abspath(path)
+    with open(os.path.join(path, _META)) as f:
+        meta = json.load(f)
+    tree = ocp.PyTreeCheckpointer().restore(os.path.join(path, "tree"))
+    tasks = {}
+    for tid_s, tm in meta["tasks"].items():
+        entry = tree["tasks"][tid_s]
+        tasks[int(tid_s)] = TaskEntry(
+            name=tm["name"],
+            num_classes=tm["num_classes"],
+            piggymask=entry.get("piggymask"),
+            private=entry["private"],
+            bn_state=entry["bn_state"],
+            meta=tm.get("meta") or {},
+        )
+    state = CPGState(
+        arch=meta["arch"],
+        width_mult=meta["width_mult"],
+        shared=tree["shared"],
+        ownership=jax.tree.map(lambda a: a.astype(np.int8),
+                               tree["ownership"]),
+        tasks=tasks,
+        threshold=meta["threshold"],
+    )
+    return state
+
+
+def latest_checkpoint(root: str) -> Optional[str]:
+    """Most recent checkpoint dir under `root` (named task<k>_<phase> or any)."""
+    if not os.path.isdir(root):
+        return None
+    cands = [os.path.join(root, d) for d in os.listdir(root)
+             if os.path.exists(os.path.join(root, d, _META))]
+    return max(cands, key=os.path.getmtime) if cands else None
