@@ -17,16 +17,24 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
+import os
 import time
+
+# persistent compile cache: remote compiles on this environment cost minutes
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.jax_cache"))
 
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+
 REF_GPU_IPS_ESTIMATE = 1500.0  # images/sec, eager torch masked VGG16 (estimate)
 
-BATCH = 256
+BATCH = 1024
 WARMUP = 10
-ITERS = 50
+ITERS = 30
 
 
 def main():

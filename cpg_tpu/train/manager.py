@@ -62,6 +62,7 @@ class Manager:
         seed: int = 0,
         lr_schedule: str = "cosine",
         native_loader: bool = False,
+        jsonl_path: Optional[str] = None,
     ):
         self.state = state
         self.model_fn = model_fn
@@ -88,6 +89,11 @@ class Manager:
             model_fn, augment_fn=augment_fn, **kwargs, **extra
         )
         self.eval_step = make_eval_step(model_fn, preprocess_fn=preprocess_fn, **kwargs)
+        self._jsonl = None
+        if jsonl_path:
+            from ..utils import JsonlWriter
+
+            self._jsonl = JsonlWriter(jsonl_path)
         self._batcher = None
         if native_loader:
             from ..data.native_loader import NativeBatcher, native_available
@@ -191,6 +197,12 @@ class Manager:
         self.opt_w_state, self.opt_pm_state = opt_w_state, opt_pm_state
 
         acc = self.eval()
+        if self._jsonl:
+            self._jsonl.write(
+                event="phase", task_id=self.task_id, task=self.task.name,
+                epochs=epochs, steps=step_i, prune_to=prune_to,
+                loss=losses[-1] if losses else None, acc=acc, seconds=dt,
+                images_per_sec=step_i * self.batch_size / max(dt, 1e-9))
         return PhaseResult(
             acc=acc,
             loss=losses[-1] if losses else float("nan"),
