@@ -48,12 +48,22 @@ def _experiment_tasks(args):
         return ("resnet50", tasks, A.imagenet_train_augment,
                 A.imagenet_eval_preprocess)
     if args.experiment == "face":
-        from .data.face import casia_task
+        # config 4+5: CASIA A-Softmax face task, then facial-expression task
+        # grown on the compacted face trunk (ref:CPG_face_main.py, exp 3)
+        from .data.face import casia_task, synthetic_faces
         from .train.losses import make_angle_loss
 
         t = casia_task(seed=0)
         t["loss_fn"] = make_angle_loss()
-        return ("spherenet20", {"casia": t}, A.face_train_augment,
+        ex, ey = synthetic_faces(num_ids=7, per_id=24, seed=11)
+        cut = int(len(ex) * 0.85)
+        expr = {"train_x": ex[:cut], "train_y": ey[:cut] % 7,
+                "test_x": ex[cut:], "test_y": ey[cut:] % 7, "num_classes": 7,
+                "model_kwargs": {"head_type": "linear"}}
+        tasks = {"casia": t, "expressions": expr}
+        if args.num_tasks:
+            tasks = dict(list(tasks.items())[: args.num_tasks])
+        return ("spherenet20", tasks, A.face_train_augment,
                 A.face_eval_preprocess)
     raise SystemExit(f"unknown experiment {args.experiment!r}")
 
@@ -79,7 +89,7 @@ def _seq_cfg(args):
         max_width_mult=args.max_allowed_network_width_multiplier,
         batch_size=args.batch_size, lr=args.lr, lr_mask=args.lr_mask,
         checkpoint_dir=args.checkpoint_dir, seed=args.seed,
-        compact_mode=args.compact_mode,
+        compact_mode=args.compact_mode, lr_schedule=args.lr_schedule,
     )
 
 
@@ -106,6 +116,8 @@ def _add_common(p):
                    default=2.0)
     p.add_argument("--compact-mode", default="incremental",
                    choices=["incremental", "restart"])
+    p.add_argument("--lr-schedule", default="cosine",
+                   choices=["cosine", "constant"])
     p.add_argument("--goals-file", default=None,
                    help="JSON {task: goal_acc} (ref --baseline_acc_file)")
     p.add_argument("--checkpoint-dir", default=None)
@@ -118,6 +130,10 @@ def _add_common(p):
     p.add_argument("--synthetic-test-per-class", type=int, default=20)
     p.add_argument("--max-classes", type=int, default=None,
                    help="cap synthetic fine-grained class counts")
+    p.add_argument("--pretrained-npz", default=None,
+                   help="ImageNet-pretrained task-1 weights npz (torch "
+                        "state_dict keys or cpg_tpu keys); ref "
+                        "--use_imagenet_pretrained")
 
 
 def main(argv=None):
@@ -196,11 +212,33 @@ def main(argv=None):
     else:
         from .train.sequence import run_sequence as runner
 
+    # fine-grained config: optional ImageNet-pretrained task 1
+    # (ref --use_imagenet_pretrained); npz with torch state_dict keys or
+    # cpg_tpu-native keys
+    init_kw = {}
+    if getattr(args, "pretrained_npz", None):
+        import jax
+        import numpy as np
+
+        from .train.pretrained import (adopt_pretrained_task1,
+                                       convert_torch_resnet50)
+        from .train.sequence import init_state
+
+        z = dict(np.load(args.pretrained_npz))
+        st = init_state(arch, jax.random.PRNGKey(args.seed),
+                        width_mult=args.network_width_multiplier)
+        if any("." in k for k in z):  # torch-style keys
+            shared, _, bn = convert_torch_resnet50(z)
+        else:
+            shared, bn = z, None
+        adopt_pretrained_task1(st, "imagenet", 1000, shared, bn_state=bn)
+        init_kw["state"] = st
+
     state, reports = runner(
         arch, tasks, _train_cfg(args), _seq_cfg(args), goals=goals,
         augment_fn=aug, preprocess_fn=prep,
         width_mult=args.network_width_multiplier,
-        record_dir=args.record_dir,
+        record_dir=args.record_dir, **init_kw,
     )
     summary = {
         "avg_top1": sum(r.final_acc for r in reports) / max(len(reports), 1),
@@ -209,6 +247,24 @@ def main(argv=None):
                    "ratio": r.chosen_ratio, "grew": r.grew}
                   for r in reports],
     }
+
+    if args.experiment == "face" and state.num_tasks >= 1:
+        # LFW-protocol verification through the compacted face trunk
+        import numpy as np
+
+        from .data.face import eval_pairs, make_pairs, synthetic_faces
+        from .inference import predict
+
+        x, yid = synthetic_faces(num_ids=10, per_id=8, seed=5)
+        i1, i2, same = make_pairs(x, yid, n_pairs=200, seed=2)
+
+        def embed(b):
+            return predict(state, 1, prep(b),
+                           model_kwargs={"head_type": "none"})
+
+        acc, std = eval_pairs(embed, x, i1, i2, same)
+        summary["lfw_verification"] = {"acc": acc, "std": std}
+
     print(json.dumps(summary))
     return 0
 

@@ -129,11 +129,19 @@ class Manager:
         prune_freq: int = 50,
         prune_begin_frac: float = 0.0,
         prune_end_frac: float = 0.8,
+        prune_n0=None,
     ) -> PhaseResult:
         """Train `epochs`. If `prune_to` is set, runs the gradual-prune window
         inside (ref:--mode prune): cubic schedule from current sparsity to
         `prune_to`, prune event every `prune_freq` steps, then the remaining
-        steps retrain at fixed final sparsity."""
+        steps retrain at fixed final sparsity.
+
+        `prune_n0` fixes the reference count the sparsity target is a fraction
+        OF (the task's post-pick owned counts). Without it each call snapshots
+        the current counts, which makes successive ratio phases compound
+        (0.5-after-0.3 keeps 35%, not 50%). The compact loop in
+        train/sequence.py passes the post-pick snapshot so candidate ratios
+        stay absolute, matching the reference's per-ratio semantics."""
         st, task = self.state, self.task
         base_lr = self.cfg.lr if base_lr is None else base_lr
         n = len(self.data["train_x"])
@@ -144,8 +152,10 @@ class Manager:
         prune_begin = prune_end = -1
         init_sparsity = 0.0
         if prune_to is not None:
-            n0 = jax.tree.map(int, pruner.snapshot_owned_counts(
-                st.ownership, self.task_id))
+            n0 = prune_n0 if prune_n0 is not None else jax.tree.map(
+                int, pruner.snapshot_owned_counts(st.ownership, self.task_id))
+            init_sparsity = float(pruner.task_sparsity(
+                st.ownership, self.task_id, n0))
             prune_begin = int(prune_begin_frac * total_steps)
             prune_end = max(int(prune_end_frac * total_steps), prune_begin + 1)
 

@@ -150,6 +150,7 @@ class SequenceConfig:
     reinit_free: bool = False
     prune_freq: int = 20
     seed: int = 0
+    lr_schedule: str = "cosine"        # 'cosine' | 'constant' per phase
     checkpoint_dir: Optional[str] = None  # orbax save at phase boundaries
     resume: bool = True                # skip tasks with a final checkpoint
 
@@ -192,7 +193,7 @@ def run_task(
         mgr = Manager(
             state, model_fn, task_id, data, cfg, batch_size=seq.batch_size,
             augment_fn=augment_fn, preprocess_fn=preprocess_fn, seed=seq.seed,
-            loss_fn=data.get("loss_fn"),
+            loss_fn=data.get("loss_fn"), lr_schedule=seq.lr_schedule,
         )
         res = mgr.train(seq.finetune_epochs, base_lr=seq.lr)
         pick_acc = res.acc
@@ -216,8 +217,16 @@ def run_task(
         log.info("task %s: growing width multiplier -> %.2f", name, new_mult)
 
     # ---- COMPACT: walk prune ratios, keep the largest meeting the goal -----
-    goal = (goal_acc - seq.allow_acc_diff) if goal_acc is not None else None
+    # without an explicit goal, the pick accuracy is the implicit goal
+    # (compaction must not cost more than allow_acc_diff — the reference
+    # always had a baseline goal from the individual-model file)
+    goal = ((goal_acc if goal_acc is not None else pick_acc)
+            - seq.allow_acc_diff)
     post_pick = snapshot(state)
+    from ..core.pruner import snapshot_owned_counts
+
+    n0_task = jax.tree.map(int, snapshot_owned_counts(state.ownership,
+                                                      task_id))
     ratio_to_acc: Dict[float, float] = {}
     best_ratio, best_state, best_acc = 0.0, post_pick, pick_acc
     for ratio in seq.prune_ratios:
@@ -226,12 +235,14 @@ def run_task(
             mgr = Manager(state, model_fn, task_id, data, cfg,
                           batch_size=seq.batch_size, augment_fn=augment_fn,
                           preprocess_fn=preprocess_fn, seed=seq.seed,
-                          loss_fn=data.get("loss_fn"))
+                          loss_fn=data.get("loss_fn"),
+                          lr_schedule=seq.lr_schedule)
         res = mgr.train(
             seq.prune_epochs + seq.retrain_epochs, base_lr=seq.lr * 0.1,
             prune_to=ratio, prune_freq=seq.prune_freq,
             prune_end_frac=seq.prune_epochs
             / max(seq.prune_epochs + seq.retrain_epochs, 1),
+            prune_n0=n0_task,  # ratios are absolute fractions of post-pick
         )
         ratio_to_acc[ratio] = res.acc
         log.info("task %s: ratio %.2f -> acc %.4f", name, ratio, res.acc)
@@ -270,32 +281,44 @@ def run_sequence(
     rng=None,
     width_mult: float = 1.0,
     record_dir: Optional[str] = None,
+    state: Optional[CPGState] = None,
 ) -> Tuple[CPGState, List[TaskReport]]:
-    """The whole multi-task CPG run (= the reference's experiment1 pipeline)."""
+    """The whole multi-task CPG run (= the reference's experiment1 pipeline).
+
+    Pass `state` to continue an existing model — e.g. a pretrained-task-1
+    ResNet-50 (train/pretrained.py) or a compacted face trunk receiving
+    expression/gender/age tasks (ref:CPG_face_main.py experiment 3)."""
     cfg = cfg or TrainConfig()
     seq = seq or SequenceConfig()
     rng = jax.random.PRNGKey(seq.seed) if rng is None else rng
-    state = init_state(arch, rng, width_mult=width_mult)
+    if state is None:
+        state = init_state(arch, rng, width_mult=width_mult)
+    elif state.arch != arch:
+        raise ValueError(f"state arch {state.arch} != {arch}")
     reports = []
+    base = state.num_tasks
     for ti, (name, data) in enumerate(tasks.items()):
+        tid_expected = base + ti + 1
         # ---- resume: skip tasks whose final checkpoint exists --------------
         if seq.checkpoint_dir and seq.resume:
             from ..utils.checkpoint import load_state
-            ck = os.path.join(seq.checkpoint_dir, f"task{ti + 1:02d}_{name}")
+            ck = os.path.join(seq.checkpoint_dir,
+                              f"task{tid_expected:02d}_{name}")
             if os.path.exists(os.path.join(ck, "cpg_meta.json")):
                 restored = load_state(ck)
-                if restored.num_tasks == ti + 1:
+                if restored.num_tasks == tid_expected:
                     state = restored
-                    m = restored.tasks[ti + 1].meta
+                    m = restored.tasks[tid_expected].meta
                     reports.append(TaskReport(
-                        task_id=ti + 1, name=name,
+                        task_id=tid_expected, name=name,
                         pick_acc=m.get("pick_acc", float("nan")),
                         final_acc=m.get("final_acc", float("nan")),
                         chosen_ratio=m.get("chosen_ratio", 0.0),
                         ratio_to_acc=m.get("ratio_to_acc", {}),
                         width_mult=restored.width_mult, grew=0,
                         images_per_sec=0.0))
-                    log.info("task %d/%s: resumed from %s", ti + 1, name, ck)
+                    log.info("task %d/%s: resumed from %s", tid_expected,
+                             name, ck)
                     continue
         rec = (os.path.join(record_dir, f"ratio_acc_{name}.json")
                if record_dir else None)
