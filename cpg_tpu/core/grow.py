@@ -25,7 +25,6 @@ from __future__ import annotations
 
 from typing import Dict, Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 
 from .ownership import FREE, OWN_DTYPE

@@ -8,8 +8,6 @@ forward with binarize(piggymask_t) ⊙ w, pick head t.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
-
 import jax
 
 from .core.state import CPGState

@@ -17,7 +17,7 @@ import dataclasses
 import json
 import logging
 import os
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import pruner
-from ..core.state import CPGState, TaskEntry
+from ..core.state import CPGState
 from ..data.cifar import iterate_batches
 from .step import TrainConfig, make_eval_step, make_train_step, set_lr
 

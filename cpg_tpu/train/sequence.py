@@ -11,16 +11,14 @@ as a public artifact (it is part of the algorithm's observable behavior).
 
 from __future__ import annotations
 
-import copy
 import dataclasses
 import json
 import logging
 import os
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..core import grow as grow_mod
 from ..core.ownership import assign_free_to_task, init_ownership, free_ratio

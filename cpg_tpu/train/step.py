@@ -16,8 +16,7 @@ ratio — no recompile inside the compact loop.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +41,8 @@ class TrainConfig:
     label_smoothing: float = 0.0
     train_piggymask: bool = True  # False = PackNet mode: prior weights reused
                                   # unmasked and frozen (ref:packnet_*_main.py)
+    remat: bool = False  # jax.checkpoint the forward: trade FLOPs for HBM
+                         # (large models / batches; ResNet-50 @ 224px)
 
 
 def make_optimizers(cfg: TrainConfig):
@@ -79,6 +80,18 @@ def build_train_step(
     opt_w, opt_pm = make_optimizers(cfg)
     model_kwargs = model_kwargs or {}
 
+    def forward(eff, private, bn_state, x):
+        return fw.apply(
+            model_fn, eff, private, bn_state, x, train=True,
+            compute_dtype=cfg.compute_dtype, num_classes=num_classes,
+            mult=mult, **model_kwargs,
+        )
+
+    if cfg.remat:
+        # rematerialize activations in the backward pass instead of storing
+        # them: HBM is the usual TPU bottleneck for 224px models
+        forward = jax.checkpoint(forward)
+
     def step(shared, piggymask, private, bn_state, opt_w_state, opt_pm_state,
              ownership, task_id, x, y, rng, it=0):
         if augment_fn is not None:
@@ -89,11 +102,7 @@ def build_train_step(
                 shared, ownership, piggymask if has_piggymask else None,
                 task_id, cfg.threshold, compute_dtype=cfg.compute_dtype,
             )
-            logits, new_bn = fw.apply(
-                model_fn, eff, private, bn_state, x, train=True,
-                compute_dtype=cfg.compute_dtype, num_classes=num_classes,
-                mult=mult, **model_kwargs,
-            )
+            logits, new_bn = forward(eff, private, bn_state, x)
             return call_loss(loss_fn, logits, y, it), (logits, new_bn)
 
         (loss, (logits, new_bn)), grads = jax.value_and_grad(

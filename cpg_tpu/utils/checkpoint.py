@@ -63,7 +63,15 @@ def load_state(path: str) -> CPGState:
     path = os.path.abspath(path)
     with open(os.path.join(path, _META)) as f:
         meta = json.load(f)
-    tree = ocp.PyTreeCheckpointer().restore(os.path.join(path, "tree"))
+    ckptr = ocp.PyTreeCheckpointer()
+    tree_path = os.path.join(path, "tree")
+    # Restore as host numpy, ignoring saved shardings: checkpoints must load
+    # across device topologies (saved single-chip, restored on an 8-device
+    # test mesh, or vice versa); jax re-places arrays on first use.
+    md = ckptr.metadata(tree_path).item_metadata.tree
+    restore_args = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), md)
+    tree = ckptr.restore(tree_path, restore_args=restore_args)
     tasks = {}
     for tid_s, tm in meta["tasks"].items():
         entry = tree["tasks"][tid_s]

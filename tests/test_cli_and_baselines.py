@@ -68,5 +68,26 @@ def test_cli_end_to_end(tmp_path):
     summary = json.loads(out.stdout.strip().splitlines()[-1])
     assert len(summary["tasks"]) == 2
     assert (tmp_path / "ratio_acc_aquatic_mammals.json").exists()
+    ckpt = tmp_path / "ckpts" / "task02_fish"
     assert (tmp_path / "ckpts" / "task01_aquatic_mammals" /
             "cpg_meta.json").exists()
+    assert (ckpt / "cpg_meta.json").exists()
+
+    # chain the inference subcommand over the produced checkpoint (in-process)
+    import contextlib
+    import io
+
+    from cpg_tpu.cli import main as cli_main
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main([
+            "inference", "--checkpoint", str(ckpt), "--task-id", "1",
+            "--experiment", "cifar100", "--num-tasks", "2",
+            "--batch-size", "25",
+            "--synthetic-train-per-class", "40",
+            "--synthetic-test-per-class", "10",
+        ])
+    assert rc == 0
+    rec = json.loads(buf.getvalue().strip())
+    assert rec["task"] == "aquatic_mammals" and 0.0 <= rec["top1"] <= 1.0
