@@ -33,23 +33,39 @@ def normalize(x_f32, mean, std):
 
 
 def _random_crop_flip(x, rng, pad: int):
-    """Per-sample zero-pad random crop + horizontal flip. x: (N,H,W,C) f32."""
+    """Per-sample zero-pad random crop + horizontal flip. x: (N,H,W,C) f32.
+
+    TPU note: the obvious vmap(dynamic_slice) crop is gather-bound and
+    measured 28 ms/step at batch 1024 (60%% of the whole VGG16 train step).
+    Instead the crop is two batched one-hot selection matmuls — dense MXU
+    work (~1 GFLOP at batch 1024), which XLA fuses and runs in <2 ms."""
     n, h, w, c = x.shape
     kc, kf = jax.random.split(rng)
     xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
     offs = jax.random.randint(kc, (n, 2), 0, 2 * pad + 1)
 
-    def crop(img, off):
-        return jax.lax.dynamic_slice(img, (off[0], off[1], 0), (h, w, c))
+    hp, wp = h + 2 * pad, w + 2 * pad
+    out_r = jax.lax.broadcasted_iota(jnp.int32, (n, h, hp), 1)
+    src_r = jax.lax.broadcasted_iota(jnp.int32, (n, h, hp), 2)
+    sel_r = (src_r == out_r + offs[:, 0, None, None]).astype(x.dtype)
+    out_c = jax.lax.broadcasted_iota(jnp.int32, (n, w, wp), 1)
+    src_c = jax.lax.broadcasted_iota(jnp.int32, (n, w, wp), 2)
+    sel_c = (src_c == out_c + offs[:, 1, None, None]).astype(x.dtype)
 
-    x = jax.vmap(crop)(xp, offs)
+    # rows: (n,hp,wp,c) x (n,h,hp) -> (n,h,wp,c); then columns likewise.
+    # Exactness: callers crop RAW 0..255 values (integers <= 255 are exact in
+    # bf16, and each output pixel is a single 1*value product), so the MXU's
+    # fast default precision reproduces the slice bit-exactly. Cropping
+    # post-normalization would need precision='highest' (non-integer pixels).
+    x = jnp.einsum("nIWc,niI->niWc", xp, sel_r)
+    x = jnp.einsum("niJc,njJ->nijc", x, sel_c)
+
     flip = jax.random.bernoulli(kf, 0.5, (n, 1, 1, 1))
     return jnp.where(flip, x[:, :, ::-1, :], x)
 
 
 def cifar_train_augment(x_uint8, rng):
-    x = x_uint8.astype(jnp.float32) / 255.0
-    x = _random_crop_flip(x, rng, pad=4)
+    x = _random_crop_flip(x_uint8.astype(jnp.float32), rng, pad=4) / 255.0
     return normalize(x, CIFAR100_MEAN, CIFAR100_STD)
 
 
@@ -59,8 +75,7 @@ def cifar_eval_preprocess(x_uint8):
 
 def imagenet_train_augment(x_uint8, rng, pad: int = 16):
     """Fine-grained 224x224 path: pad-crop + flip + ImageNet stats."""
-    x = x_uint8.astype(jnp.float32) / 255.0
-    x = _random_crop_flip(x, rng, pad=pad)
+    x = _random_crop_flip(x_uint8.astype(jnp.float32), rng, pad=pad) / 255.0
     return normalize(x, IMAGENET_MEAN, IMAGENET_STD)
 
 
