@@ -55,12 +55,18 @@ def _experiment_tasks(args):
 
         t = casia_task(seed=0)
         t["loss_fn"] = make_angle_loss()
-        ex, ey = synthetic_faces(num_ids=7, per_id=24, seed=11)
-        cut = int(len(ex) * 0.85)
-        expr = {"train_x": ex[:cut], "train_y": ey[:cut] % 7,
-                "test_x": ex[cut:], "test_y": ey[cut:] % 7, "num_classes": 7,
-                "model_kwargs": {"head_type": "linear"}}
-        tasks = {"casia": t, "expressions": expr}
+
+        def facial_task(nc, seed):
+            # paper exp-3 chain: expression (7-way), gender (2), age group (5)
+            fx, fy = synthetic_faces(num_ids=nc, per_id=24, seed=seed)
+            cut = int(len(fx) * 0.85)
+            return {"train_x": fx[:cut], "train_y": fy[:cut] % nc,
+                    "test_x": fx[cut:], "test_y": fy[cut:] % nc,
+                    "num_classes": nc,
+                    "model_kwargs": {"head_type": "linear"}}
+
+        tasks = {"casia": t, "expressions": facial_task(7, 11),
+                 "gender": facial_task(2, 12), "age": facial_task(5, 13)}
         if args.num_tasks:
             tasks = dict(list(tasks.items())[: args.num_tasks])
         return ("spherenet20", tasks, A.face_train_augment,

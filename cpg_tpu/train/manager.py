@@ -194,6 +194,14 @@ class Manager:
             accs.append(float(metrics["acc"]))
         jax.block_until_ready(shared)
         dt = time.perf_counter() - t0
+        if losses and not math.isfinite(losses[-1]):
+            import logging
+
+            logging.getLogger("cpg_tpu").warning(
+                "task %d (%s): NON-FINITE loss %s — training diverged "
+                "(lower lr or set TrainConfig.grad_clip_norm); weights are "
+                "likely NaN (run core.invariants.check_state)",
+                self.task_id, self.task.name, losses[-1])
 
         # final prune event to exactly the target (window may not land on it)
         if prune_to is not None:

@@ -43,12 +43,20 @@ class TrainConfig:
                                   # unmasked and frozen (ref:packnet_*_main.py)
     remat: bool = False  # jax.checkpoint the forward: trade FLOPs for HBM
                          # (large models / batches; ResNet-50 @ 224px)
+    grad_clip_norm: Optional[float] = None  # global-norm clip (SGD side);
+                         # unnormalized trunks (SphereNet) diverge at high lr
 
 
 def make_optimizers(cfg: TrainConfig):
     """SGD+momentum for weights/private (lr injectable at runtime), Adam for
     piggymasks (ref:utils/__init__.py `Optimizers` container)."""
-    opt_w = optax.inject_hyperparams(optax.sgd)(
+    def sgd(learning_rate, momentum):
+        tx = optax.sgd(learning_rate, momentum=momentum)
+        if cfg.grad_clip_norm:
+            tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), tx)
+        return tx
+
+    opt_w = optax.inject_hyperparams(sgd)(
         learning_rate=cfg.lr, momentum=cfg.momentum
     )
     opt_pm = optax.inject_hyperparams(optax.adam)(learning_rate=cfg.lr_mask)
