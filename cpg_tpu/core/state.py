@@ -35,6 +35,8 @@ class CPGState:
     ownership: Dict
     tasks: Dict[int, TaskEntry] = dataclasses.field(default_factory=dict)
     threshold: float = 5e-3        # binarizer threshold (ref DEFAULT_THRESHOLD)
+    mask_mode: str = "binary"      # 'binary' (ref Binarizer) | 'ternary'
+                                   # (ref Ternarizer)
 
     @property
     def num_tasks(self) -> int:

@@ -29,6 +29,7 @@ def predict(state: CPGState, task_id: int, x, preprocess_fn=None,
     eff = effective_params(
         state.shared, state.ownership, task.piggymask, task_id,
         state.threshold, compute_dtype=compute_dtype,
+        mask_mode=getattr(state, "mask_mode", "binary"),
     )
     mkw = model_kwargs if model_kwargs is not None else (
         task.meta.get("model_kwargs") or {})
@@ -52,7 +53,8 @@ def make_predict_fn(state: CPGState, task_id: int, preprocess_fn=None,
     def fn(shared, ownership, piggymask, private, bn_state, x):
         xx = preprocess_fn(x) if preprocess_fn is not None else x
         eff = effective_params(shared, ownership, piggymask, task_id, thr,
-                               compute_dtype=compute_dtype)
+                               compute_dtype=compute_dtype,
+                               mask_mode=getattr(state, "mask_mode", "binary"))
         logits, _ = fw.apply(
             model_fn, eff, private, bn_state, xx, train=False,
             compute_dtype=compute_dtype or xx.dtype, num_classes=nc, mult=mult,

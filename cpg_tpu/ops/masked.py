@@ -31,7 +31,9 @@ import jax
 import jax.numpy as jnp
 
 from ..core.ownership import FREE
-from .binarize import DEFAULT_THRESHOLD, binarize
+from .binarize import DEFAULT_THRESHOLD, binarize, ternarize
+
+MASK_FNS = {"binary": binarize, "ternary": ternarize}
 
 
 def effective_kernel(
@@ -40,15 +42,19 @@ def effective_kernel(
     piggymask: Optional[jax.Array],
     task_id,
     threshold: float = DEFAULT_THRESHOLD,
+    mask_mode: str = "binary",
 ) -> jax.Array:
-    """Per-layer effective weight for a task-`task_id` forward pass."""
+    """Per-layer effective weight for a task-`task_id` forward pass.
+
+    mask_mode 'binary' (default, ref Binarizer) or 'ternary' (ref Ternarizer:
+    prior weights can also be picked with flipped sign)."""
     tid = jnp.asarray(task_id, own.dtype)
     owned_now = own == tid
     if piggymask is None:
         # Task 1 (or no piggymask attached): only owned entries are visible.
         return jnp.where(owned_now, w, jnp.zeros((), w.dtype))
     prior = (own > FREE) & (own < tid)
-    picked = binarize(piggymask, threshold).astype(w.dtype) * w
+    picked = MASK_FNS[mask_mode](piggymask, threshold).astype(w.dtype) * w
     return jnp.where(owned_now, w, jnp.where(prior, picked, jnp.zeros((), w.dtype)))
 
 
@@ -59,6 +65,7 @@ def effective_params(
     task_id,
     threshold: float = DEFAULT_THRESHOLD,
     compute_dtype=None,
+    mask_mode: str = "binary",
 ) -> Dict[str, jax.Array]:
     """Map `effective_kernel` over the whole shared pytree.
 
@@ -73,7 +80,8 @@ def effective_params(
         )
     else:
         eff = jax.tree.map(
-            lambda w, m, pm: effective_kernel(w, m, pm, task_id, threshold),
+            lambda w, m, pm: effective_kernel(w, m, pm, task_id, threshold,
+                                              mask_mode),
             shared,
             ownership,
             piggymask,

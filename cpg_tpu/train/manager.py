@@ -83,6 +83,7 @@ class Manager:
             has_piggymask=self.has_piggymask,
             cfg=cfg,
             model_kwargs=self.task.meta.get("model_kwargs"),
+            mask_mode=getattr(state, "mask_mode", "binary"),
         )
         extra = {} if loss_fn is None else {"loss_fn": loss_fn}
         self.train_step, (self.opt_w, self.opt_pm) = make_train_step(

@@ -55,6 +55,7 @@ def snapshot(state: CPGState) -> CPGState:
             for tid, t in state.tasks.items()
         },
         threshold=state.threshold,
+        mask_mode=getattr(state, "mask_mode", "binary"),
     )
 
 

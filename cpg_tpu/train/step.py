@@ -78,6 +78,7 @@ def build_train_step(
     augment_fn: Optional[Callable] = None,
     loss_fn: Callable = cross_entropy,
     model_kwargs: Optional[Dict] = None,
+    mask_mode: str = "binary",
 ):
     """Build the UNJITTED step (for custom jit/pjit wrapping — see
     parallel/mesh.py) plus its optimizers.
@@ -109,6 +110,7 @@ def build_train_step(
             eff = effective_params(
                 shared, ownership, piggymask if has_piggymask else None,
                 task_id, cfg.threshold, compute_dtype=cfg.compute_dtype,
+                mask_mode=mask_mode,
             )
             logits, new_bn = forward(eff, private, bn_state, x)
             return call_loss(loss_fn, logits, y, it), (logits, new_bn)
@@ -164,6 +166,7 @@ def make_eval_step(
     cfg: TrainConfig,
     preprocess_fn: Optional[Callable] = None,
     model_kwargs: Optional[Dict] = None,
+    mask_mode: str = "binary",
 ):
     """Task-conditioned inference step (ref --mode inference, SURVEY §3.4):
     only weights with 0 < ownership <= task_id are visible, prior entries
@@ -176,6 +179,7 @@ def make_eval_step(
         eff = effective_params(
             shared, ownership, piggymask if has_piggymask else None, task_id,
             cfg.threshold, compute_dtype=cfg.compute_dtype,
+            mask_mode=mask_mode,
         )
         logits, _ = fw.apply(
             model_fn, eff, private, bn_state, x, train=False,

@@ -48,6 +48,7 @@ def save_state(state: CPGState, path: str) -> str:
         "arch": state.arch,
         "width_mult": state.width_mult,
         "threshold": state.threshold,
+        "mask_mode": getattr(state, "mask_mode", "binary"),
         "tasks": {
             str(tid): {"name": t.name, "num_classes": t.num_classes,
                        "meta": t.meta}
@@ -91,6 +92,7 @@ def load_state(path: str) -> CPGState:
                                tree["ownership"]),
         tasks=tasks,
         threshold=meta["threshold"],
+        mask_mode=meta.get("mask_mode", "binary"),
     )
     return state
 
