@@ -38,6 +38,24 @@ def test_ratios_are_absolute_not_compounding():
         f"(compounding bug?)")
 
 
+def test_restart_mode_ratios_absolute_from_post_pick():
+    """Reference-faithful mode: every candidate ratio restarts from the
+    post-pick checkpoint; ratios are absolute there too."""
+    data = synthetic_task(0)
+    state = init_state("tiny_cnn", jax.random.PRNGKey(0))
+    cfg = TrainConfig(lr=0.05, compute_dtype=jnp.float32)
+    seq = SequenceConfig(finetune_epochs=8, prune_epochs=2, retrain_epochs=1,
+                         prune_ratios=(0.3, 0.6), batch_size=32, lr=0.05,
+                         prune_freq=5, seed=0, lr_schedule="constant",
+                         allow_acc_diff=0.25, compact_mode="restart")
+    rep = run_task(state, "t1", data, cfg, seq, augment_fn=norm_augment,
+                   preprocess_fn=normalize01)
+    got = _owned_fraction(state, 1)
+    want = 1.0 - rep.chosen_ratio
+    assert abs(got - want) < 0.02, (rep.chosen_ratio, got)
+    assert set(rep.ratio_to_acc) == {0.3, 0.6}
+
+
 def test_implicit_goal_rejects_collapsing_ratios():
     """With no explicit goal, a ratio that destroys accuracy (vs pick) must
     be rejected and the best prior state restored."""
