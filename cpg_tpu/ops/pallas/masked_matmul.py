@@ -168,7 +168,10 @@ def _bwd_dx_kernel(tid_ref, g_ref, w_ref, own_ref, pm_ref, o_ref, acc_ref,
 def _bwd_dx(g, w, own, pm, task_id, threshold, x_dtype):
     m, n0 = g.shape
     k0 = w.shape[0]
-    bm, bk, bn = _blk(m, 256), _blk(k0, 256), _blk(n0, 512)
+    # same tuning shape as the forward: wide output columns, short inner slabs
+    bm = _blk(m, 1024 if m >= 1024 else (512 if m >= 512 else 256))
+    bk = _blk(k0, 1024 if k0 >= 1024 else 256)
+    bn = _blk(n0, 256)
     gp = _pad2(g, bm, bn)
     wp = _pad2(w, bk, bn)
     ownp = _pad2(own, bk, bn)
@@ -236,7 +239,9 @@ def _bwd_dw_kernel(tid_ref, x_ref, g_ref, w_ref, own_ref, dw_ref, dpm_ref,
 def _bwd_dw(x, g, w, own, task_id):
     k0, n0 = w.shape
     m = x.shape[0]
-    bk, bn, bm = _blk(k0, 256), _blk(n0, 256), _blk(m, 512)
+    bk = _blk(k0, 256)
+    bn = _blk(n0, 1024 if n0 >= 1024 else 256)
+    bm = _blk(m, 256)
     xp = _pad2(x, bm, bk)
     gp = _pad2(g, bm, bn)
     wp = _pad2(w, bk, bn)
