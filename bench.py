@@ -1,4 +1,4 @@
-"""Benchmark: masked VGG16-BN train-step throughput on one TPU chip.
+"""Benchmark: masked train-step throughput on one TPU chip + Pallas ablation.
 
 The headline metric from BASELINE.json: images/sec/chip on the masked VGG16
 train step (the reference publishes accuracy only — no throughput numbers
@@ -7,15 +7,21 @@ its most expensive configuration: task 2 over a 50%-compacted task 1 —
 on-device augmentation + piggymask binarize + masked conv forward/backward +
 ownership gradient gating + selective weight decay + SGD/Adam updates.
 
+Ablation (detail.ablation): the same step through the fused-Pallas sharable
+layers (TrainConfig.use_pallas / use_pallas_conv) vs the default
+materialize-then-compute path, for BOTH the all-conv VGG16 step and a
+SphereNet-20 step (whose fc5 is the big sharable dense the fused masked
+matmul targets).
+
 vs_baseline: the reference has no number to beat; REF_GPU_IPS_ESTIMATE below
 is a documented ESTIMATE of the reference's eager-PyTorch pipeline on a
-V100-class GPU (VGG16-BN on 32x32 inputs, batch 128, plus CPG's three extra
-eager elementwise passes over all params per step). Treat the ratio as
-indicative until the reference is runnable somewhere.
+V100-class GPU. Treat the ratio as indicative until the reference is
+runnable somewhere.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
+import dataclasses
 import json
 import os
 import time
@@ -37,60 +43,100 @@ WARMUP = 10
 ITERS = 30
 
 
-def main():
-    from cpg_tpu.data.augment import cifar_train_augment
+def _time_step(arch, cfg, batch, warmup, iters, num_classes=5,
+               augment_fn=None, mult=1.0, seed=0):
+    """ms/step for the full masked train step (task 2 over a 50%-compacted
+    task 1). Completion barrier: host readback of the LAST step's loss, which
+    data-depends on every previous step through the donated weights —
+    block_until_ready returns before remote execution finishes on this
+    relayed backend and reads ~20x too fast."""
     from cpg_tpu.models import get_model
-    from cpg_tpu.train.step import TrainConfig, make_train_step
+    from cpg_tpu.train.step import make_train_step
     import __graft_entry__ as ge
 
-    state = ge._build_state()
+    state = ge._build_state(arch=arch, mult=mult, num_classes=num_classes,
+                            seed=seed)
     task = state.tasks[2]
-    cfg = TrainConfig(compute_dtype=jnp.bfloat16)
+    model_fn, in_shape = get_model(arch)
     step, (opt_w, opt_pm) = make_train_step(
-        get_model(state.arch)[0], num_classes=5, mult=state.width_mult,
-        has_piggymask=True, cfg=cfg, augment_fn=cifar_train_augment,
-    )
-    opt_w_state = opt_w.init({"shared": state.shared, "private": task.private})
-    opt_pm_state = opt_pm.init(task.piggymask)
+        model_fn, num_classes=num_classes, mult=mult, has_piggymask=True,
+        cfg=cfg, augment_fn=augment_fn)
+    ows = opt_w.init({"shared": state.shared, "private": task.private})
+    opms = opt_pm.init(task.piggymask)
 
     rng = jax.random.PRNGKey(0)
-    x = jax.random.randint(rng, (BATCH, 32, 32, 3), 0, 256, jnp.int32).astype(jnp.uint8)
-    y = jax.random.randint(rng, (BATCH,), 0, 5, jnp.int32)
+    x = jax.random.randint(rng, (batch, *in_shape), 0, 256,
+                           jnp.int32).astype(jnp.uint8)
+    y = jax.random.randint(rng, (batch,), 0, num_classes, jnp.int32)
     x, y = jax.device_put(x), jax.device_put(y)
 
-    shared, pm, private, bn = state.shared, task.piggymask, task.private, task.bn_state
+    shared, pm = state.shared, task.piggymask
+    priv, bn = task.private, task.bn_state
     own = state.ownership
 
     def run(n):
-        # NOTE: host readback of the last step's loss (which chains through
-        # every previous step via the donated weights) is the completion
-        # barrier — on this environment's relayed-TPU backend,
-        # block_until_ready returns before remote execution finishes and
-        # produces fantasy numbers (measured 227x over hardware peak).
-        nonlocal shared, pm, private, bn, opt_w_state, opt_pm_state, rng
-        for _ in range(n):
+        nonlocal shared, pm, priv, bn, ows, opms, rng
+        m = None
+        for i in range(n):
             rng, sub = jax.random.split(rng)
-            (shared, pm, private, bn, opt_w_state, opt_pm_state, m) = step(
-                shared, pm, private, bn, opt_w_state, opt_pm_state, own, 2,
-                x, y, sub)
-        return float(m["loss"])
+            (shared, pm, priv, bn, ows, opms, m) = step(
+                shared, pm, priv, bn, ows, opms, own, 2, x, y, sub, i)
+        return float(m["loss"])  # host readback = completion barrier
 
-    run(WARMUP)
+    run(warmup)
     t0 = time.perf_counter()
-    last_loss = run(ITERS)
+    run(iters)
     dt = time.perf_counter() - t0
+    return 1e3 * dt / iters
 
-    ips = BATCH * ITERS / dt
+
+def main():
+    from cpg_tpu.data.augment import cifar_train_augment, face_train_augment
+    from cpg_tpu.train.step import TrainConfig
+
+    cfg = TrainConfig(compute_dtype=jnp.bfloat16)
+
+    # headline: default-path masked VGG16-BN step
+    vgg_ms = _time_step("vgg16_bn_cifar", cfg, BATCH, WARMUP, ITERS,
+                        augment_fn=cifar_train_augment)
+    ips = BATCH * 1e3 / vgg_ms
+
+    # ablation: fused Pallas sharable layers vs default (smaller iter counts;
+    # compile cache makes re-runs cheap)
+    abl = {}
+    try:
+        abl["vgg_pallas_conv_ms"] = round(_time_step(
+            "vgg16_bn_cifar",
+            dataclasses.replace(cfg, use_pallas=True, use_pallas_conv=True),
+            BATCH, 5, 15, augment_fn=cifar_train_augment), 3)
+    except Exception as e:  # pragma: no cover
+        abl["vgg_pallas_conv_ms"] = f"failed: {type(e).__name__}: {e}"
+    sphere_batch = 256
+    try:
+        abl["sphere_default_ms"] = round(_time_step(
+            "spherenet20", dataclasses.replace(cfg, grad_clip_norm=5.0),
+            sphere_batch, 5, 15, num_classes=64,
+            augment_fn=face_train_augment), 3)
+        abl["sphere_pallas_ms"] = round(_time_step(
+            "spherenet20",
+            dataclasses.replace(cfg, grad_clip_norm=5.0, use_pallas=True),
+            sphere_batch, 5, 15, num_classes=64,
+            augment_fn=face_train_augment), 3)
+        abl["sphere_batch"] = sphere_batch
+    except Exception as e:  # pragma: no cover
+        abl["sphere_default_ms"] = f"failed: {type(e).__name__}: {e}"
+
     print(json.dumps({
         "metric": "images_per_sec_per_chip_masked_vgg16_train",
         "value": round(ips, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / REF_GPU_IPS_ESTIMATE, 3),
         "detail": {
-            "batch": BATCH, "iters": ITERS, "step_ms": round(1e3 * dt / ITERS, 3),
+            "batch": BATCH, "iters": ITERS, "step_ms": round(vgg_ms, 3),
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
             "compute_dtype": "bfloat16",
+            "ablation": abl,
             "baseline_note": "vs ESTIMATED eager-torch V100 masked VGG16 "
                              "(reference publishes no throughput)",
         },

@@ -74,11 +74,48 @@ def _experiment_tasks(args):
     raise SystemExit(f"unknown experiment {args.experiment!r}")
 
 
+# Per-experiment hyperparameter presets mirroring the reference's recalled
+# shell-loop settings (ref:experiment1/CPG_cifar100.sh, experiment2/,
+# experiment3/ — SURVEY §2). Provenance tags: [M] medium-confidence recall,
+# [L] low — re-verify against the mount if it ever appears. Applied by
+# --preset; explicit flags win.
+EXPERIMENT_PRESETS = {
+    "cifar100": {        # VGG16-BN, 20 superclass tasks [M]
+        "lr": 0.01, "lr_mask": 1e-4, "weight_decay": 4e-5,
+        "batch_size": 128, "finetune_epochs": 100, "prune_epochs": 30,
+        "retrain_epochs": 30, "lr_schedule": "step",
+    },
+    "finegrained": {     # ResNet-50, ImageNet-pretrained task 1 [M]
+        "lr": 1e-3, "lr_mask": 1e-4, "weight_decay": 4e-5,
+        "batch_size": 32, "finetune_epochs": 30, "prune_epochs": 20,
+        "retrain_epochs": 20, "lr_schedule": "step",
+    },
+    "face": {            # SphereNet-20 + A-Softmax on CASIA [L]
+        "lr": 0.1, "lr_mask": 1e-4, "weight_decay": 5e-4,
+        "batch_size": 256, "finetune_epochs": 28, "prune_epochs": 16,
+        "retrain_epochs": 16, "lr_schedule": "step",
+    },
+}
+
+
+_FLAG_DEFAULTS = {}  # populated by _add_common; shared across subcommands
+
+
+def _apply_preset(args):
+    """Overlay the experiment's preset onto args, keeping explicit flags:
+    a value is overridden only if it still equals the parser default."""
+    for k, v in EXPERIMENT_PRESETS.get(args.experiment, {}).items():
+        if getattr(args, k) == _FLAG_DEFAULTS.get(k):
+            setattr(args, k, v)
+
+
 def _train_cfg(args):
     from .train.step import TrainConfig
 
     return TrainConfig(
         lr=args.lr, lr_mask=args.lr_mask, weight_decay=args.weight_decay,
+        label_smoothing=args.label_smoothing,
+        use_pallas=args.use_pallas, use_pallas_conv=args.use_pallas_conv,
         compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16"
         else jnp.float32,
     )
@@ -96,6 +133,7 @@ def _seq_cfg(args):
         batch_size=args.batch_size, lr=args.lr, lr_mask=args.lr_mask,
         checkpoint_dir=args.checkpoint_dir, seed=args.seed,
         compact_mode=args.compact_mode, lr_schedule=args.lr_schedule,
+        native_loader=args.native_loader, jsonl_path=args.jsonl,
     )
 
 
@@ -108,6 +146,12 @@ def _add_common(p):
     p.add_argument("--lr", type=float, default=0.01)
     p.add_argument("--lr_mask", type=float, default=1e-4)
     p.add_argument("--weight_decay", type=float, default=4e-5)
+    p.add_argument("--label-smoothing", type=float, default=0.0)
+    p.add_argument("--use-pallas", action="store_true",
+                   help="fused Pallas masked matmul in sharable dense layers")
+    p.add_argument("--use-pallas-conv", action="store_true",
+                   help="fused Pallas masked conv (implicit GEMM); measure "
+                        "first — XLA native convs usually win on TPU")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--finetune-epochs", type=int, default=30)
@@ -123,7 +167,7 @@ def _add_common(p):
     p.add_argument("--compact-mode", default="incremental",
                    choices=["incremental", "restart"])
     p.add_argument("--lr-schedule", default="cosine",
-                   choices=["cosine", "constant"])
+                   choices=["cosine", "constant", "step"])
     p.add_argument("--goals-file", default=None,
                    help="JSON {task: goal_acc} (ref --baseline_acc_file)")
     p.add_argument("--checkpoint-dir", default=None)
@@ -132,6 +176,9 @@ def _add_common(p):
                         "(ref --pruning_ratio_to_acc_record_file)")
     p.add_argument("--logfile", default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--preset", action="store_true",
+                   help="apply the experiment's reference hyperparameter "
+                        "preset (EXPERIMENT_PRESETS); explicit flags win")
     p.add_argument("--synthetic-train-per-class", type=int, default=100)
     p.add_argument("--synthetic-test-per-class", type=int, default=20)
     p.add_argument("--max-classes", type=int, default=None,
@@ -140,9 +187,22 @@ def _add_common(p):
                    help="ImageNet-pretrained task-1 weights npz (torch "
                         "state_dict keys or cpg_tpu keys); ref "
                         "--use_imagenet_pretrained")
+    p.add_argument("--parallel", type=int, default=0, metavar="N",
+                   help="train over an N-device mesh (data-parallel; "
+                        "0 = single device). Batch is sharded over the data "
+                        "axis; grads psum over ICI")
+    p.add_argument("--parallel-model", type=int, default=1, metavar="M",
+                   help="model-axis size within --parallel (output-channel "
+                        "sharded kernels for wide grown networks)")
+    p.add_argument("--native-loader", action="store_true",
+                   help="use the C++ prefetch-ring batcher (native/)")
+    p.add_argument("--jsonl", default=None,
+                   help="structured per-phase JSONL metrics path")
+    for a in p._actions:
+        _FLAG_DEFAULTS.setdefault(a.dest, a.default)
 
 
-def main(argv=None):
+def build_parser():
     parser = argparse.ArgumentParser(prog="cpg_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
     for cmd in ("sequence", "baseline", "packnet"):
@@ -159,7 +219,13 @@ def main(argv=None):
     pi.add_argument("--synthetic-test-per-class", type=int, default=20)
     pi.add_argument("--max-classes", type=int, default=None)
     sub.add_parser("bench")
-    args = parser.parse_args(argv)
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if getattr(args, "preset", False):
+        _apply_preset(args)
 
     from .utils import set_logger
 
@@ -240,11 +306,24 @@ def main(argv=None):
         adopt_pretrained_task1(st, "imagenet", 1000, shared, bn_state=bn)
         init_kw["state"] = st
 
+    mesh = None
+    if args.parallel:
+        import jax as _jax
+
+        from .parallel.mesh import make_mesh
+
+        n = args.parallel * args.parallel_model
+        if _jax.device_count() < n:
+            raise SystemExit(
+                f"--parallel {args.parallel} x {args.parallel_model} needs "
+                f"{n} devices, have {_jax.device_count()}")
+        mesh = make_mesh(n_data=args.parallel, n_model=args.parallel_model)
+
     state, reports = runner(
         arch, tasks, _train_cfg(args), _seq_cfg(args), goals=goals,
         augment_fn=aug, preprocess_fn=prep,
         width_mult=args.network_width_multiplier,
-        record_dir=args.record_dir, **init_kw,
+        record_dir=args.record_dir, mesh=mesh, **init_kw,
     )
     summary = {
         "avg_top1": sum(r.final_acc for r in reports) / max(len(reports), 1),

@@ -69,6 +69,17 @@ def finegrained_task(name: str, data_dir: Optional[str] = None,
         raise KeyError(f"unknown fine-grained dataset {name!r}")
     nc = FINEGRAINED_SPECS[name]
     d = data_dir or os.environ.get("CPG_DATA_DIR")
+    data = None
+    if d and os.path.isdir(os.path.join(d, name)):
+        # the reference's native layout: ImageFolder JPEG trees
+        # (ref:utils/dataset.py) under CPG_DATA_DIR/<name>/{train,test}/
+        from .imagefolder import imagefolder_splits
+
+        fold = imagefolder_splits(os.path.join(d, name), hw=hw)
+        if fold is not None:
+            fold["num_classes"] = max(fold["num_classes"], 1)
+            return {k: fold[k] for k in
+                    ("train_x", "train_y", "test_x", "test_y", "num_classes")}
     data = _load_npz(d, name) if d else None
     if data is None:
         nc = min(nc, max_classes) if max_classes else nc

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import zlib
 from dataclasses import dataclass, field
-from typing import Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +30,29 @@ import numpy as np
 
 def _name_rng(rng, name: str):
     return jax.random.fold_in(rng, zlib.crc32(name.encode()))
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class Masking:
+    """Per-layer masking context: when set on Ctx, `shared` holds RAW weights
+    and each sharable layer applies the CPG effective-weight selection itself
+    — either as an XLA-fused per-layer select or as the fused Pallas kernels
+    (ops/pallas) where ownership/binarize/multiply happen inside the MXU tile
+    loads (the north-star Sharable-layer story; ref:models/layers.py
+    SharableConv2d/SharableLinear forward).
+
+    Without a Masking (the default), layers consume pre-masked effective
+    params (ops/masked.effective_params) — the two paths are numerically
+    identical; Pallas changes only where the select runs."""
+
+    ownership: Dict[str, jax.Array]
+    piggymask: Optional[Dict[str, jax.Array]]
+    task_id: Any
+    threshold: float = field(metadata=dict(static=True), default=5e-3)
+    mask_mode: str = field(metadata=dict(static=True), default="binary")
+    pallas_dense: bool = field(metadata=dict(static=True), default=False)
+    pallas_conv: bool = field(metadata=dict(static=True), default=False)
 
 
 def he_normal_fan_out(rng, shape, dtype=jnp.float32):
@@ -68,6 +91,7 @@ class Ctx:
     bn_state: Dict[str, jax.Array] = field(default_factory=dict)
     new_bn_state: Dict[str, jax.Array] = field(default_factory=dict)
     compute_dtype: jnp.dtype = jnp.float32
+    masking: Optional[Masking] = None  # raw-weight mode (see Masking)
 
     # -- param accessors ----------------------------------------------------
     def shared_param(self, name, shape, init_fn):
@@ -92,6 +116,22 @@ class Ctx:
             self.bn_state[name + "/var"] = jnp.ones(shape, jnp.float32)
         return self.bn_state[name + "/mean"], self.bn_state[name + "/var"]
 
+    # -- masking helpers ------------------------------------------------------
+    def mask_entries(self, key):
+        """(ownership, piggymask-or-None) for a shared kernel in raw mode."""
+        mk = self.masking
+        pm = mk.piggymask[key] if mk.piggymask is not None else None
+        return mk.ownership[key], pm
+
+    def masked_weight(self, key, w):
+        """XLA per-layer effective-weight select (raw mode, non-Pallas)."""
+        from ..ops.masked import effective_kernel
+
+        mk = self.masking
+        own, pm = self.mask_entries(key)
+        return effective_kernel(w, own, pm, mk.task_id, mk.threshold,
+                                mk.mask_mode)
+
 
 # ---------------------------------------------------------------------------
 # Layers. Sharable kernels -> ctx.shared; everything else -> ctx.private.
@@ -111,9 +151,25 @@ def sconv(
 ) -> jax.Array:
     """Sharable 2D conv (ref:models/layers.py SharableConv2d). NHWC/HWIO."""
     cin = x.shape[-1]
-    w = ctx.shared_param(f"{name}/kernel", (kernel, kernel, cin, features), kernel_init)
+    key = f"{name}/kernel"
+    w = ctx.shared_param(key, (kernel, kernel, cin, features), kernel_init)
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
+    mk = ctx.masking
+    if mk is not None and ctx.mode != "init":
+        own, pm = ctx.mask_entries(key)
+        if mk.pallas_conv and pm is not None:
+            from ..ops.pallas.masked_conv import masked_conv2d
+
+            y = masked_conv2d(x.astype(ctx.compute_dtype), w, own, pm,
+                              mk.task_id, stride=stride, padding=padding,
+                              threshold=mk.threshold, mask_mode=mk.mask_mode)
+            if use_bias:
+                b = ctx.private_param(f"{name}/bias", (features,),
+                                      lambda r, s: jnp.zeros(s))
+                y = y + b
+            return y
+        w = ctx.masked_weight(key, w)
     # output dtype == compute dtype so fwd/bwd conv dtypes agree; the TPU MXU
     # accumulates in f32 internally either way, and BN upcasts to f32 next.
     y = jax.lax.conv_general_dilated(
@@ -139,7 +195,22 @@ def sdense(
     kernel_init=normal_init(0.01),
 ) -> jax.Array:
     """Sharable dense layer (ref:models/layers.py SharableLinear)."""
-    w = ctx.shared_param(f"{name}/kernel", (x.shape[-1], features), kernel_init)
+    key = f"{name}/kernel"
+    w = ctx.shared_param(key, (x.shape[-1], features), kernel_init)
+    mk = ctx.masking
+    if mk is not None and ctx.mode != "init":
+        own, pm = ctx.mask_entries(key)
+        if mk.pallas_dense and pm is not None:
+            from ..ops.pallas.masked_matmul import masked_matmul
+
+            y = masked_matmul(x.astype(ctx.compute_dtype), w, own, pm,
+                              mk.task_id, mk.threshold, mk.mask_mode)
+            if use_bias:
+                b = ctx.private_param(f"{name}/bias", (features,),
+                                      lambda r, s: jnp.zeros(s))
+                y = y + b
+            return y
+        w = ctx.masked_weight(key, w)
     y = jnp.dot(
         x.astype(ctx.compute_dtype),
         w.astype(ctx.compute_dtype),
@@ -244,8 +315,12 @@ def apply(
     x,
     train: bool,
     compute_dtype=jnp.float32,
+    masking: Optional[Masking] = None,
     **kwargs,
 ):
+    """Run the model. With `masking=None` (default), `shared` must hold
+    pre-masked effective params; with a Masking, `shared` holds RAW weights
+    and each sharable layer selects (or Pallas-fuses) its effective weight."""
     ctx = Ctx(
         mode="apply",
         train=train,
@@ -253,6 +328,7 @@ def apply(
         private=private,
         bn_state=bn_state,
         compute_dtype=compute_dtype,
+        masking=masking,
     )
     out = model_fn(ctx, x, **kwargs)
     return out, ctx.new_bn_state

@@ -36,7 +36,10 @@ def _bottleneck(ctx: Ctx, name: str, x, planes: int, stride: int):
     identity = x
     y = sconv(ctx, f"{name}/conv1", x, planes, kernel=1)
     y = relu(batchnorm(ctx, f"{name}/bn1", y))
-    y = sconv(ctx, f"{name}/conv2", y, planes, kernel=3, stride=stride)
+    # explicit pad 1 == torch Conv2d(padding=1); XLA "SAME" would pad (0,1)
+    # at stride 2 and sample a shifted grid vs the reference weights
+    y = sconv(ctx, f"{name}/conv2", y, planes, kernel=3, stride=stride,
+              padding=1)
     y = relu(batchnorm(ctx, f"{name}/bn2", y))
     y = sconv(ctx, f"{name}/conv3", y, cout, kernel=1)
     y = batchnorm(ctx, f"{name}/bn3", y)

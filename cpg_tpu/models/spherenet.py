@@ -45,8 +45,11 @@ def spherenet20(ctx: Ctx, x, num_classes: int, mult: float = 1.0,
     """
     for si, (c0, units) in enumerate(STAGES):
         c = scale_channels(c0, mult)
+        # explicit pad 1 (torch Conv2d(padding=1)): at stride 2, XLA "SAME"
+        # pads (0,1) and samples a grid offset by one pixel from the
+        # reference — converted pretrained weights would silently mismatch
         x = sconv(ctx, f"stage{si + 1}/down", x, c, kernel=3, stride=2,
-                  kernel_init=xavier_normal)
+                  padding=1, kernel_init=xavier_normal)
         x = prelu(ctx, f"stage{si + 1}/down_prelu", x)
         for ui in range(units):
             x = _unit(ctx, f"stage{si + 1}/unit{ui}", x, c)

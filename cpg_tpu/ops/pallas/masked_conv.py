@@ -5,8 +5,9 @@ Reference hot path (ref:models/layers.py SharableConv2d): binarize + mask-mul
 (XLA's conv_general_dilated_patches, differentiable) followed by the Pallas
 fused masked matmul (ops/pallas/masked_matmul.py), so the ownership/piggymask
 selection happens inside the GEMM tile loads and the effective kernel never
-hits HBM. The 4D ownership/piggymask reshape to (kh*kw*cin, cout) is a view —
-layouts match HWIO.
+hits HBM. The patches' feature axis is ordered (cin, kh, kw), so the HWIO
+weight/ownership/piggymask tensors are transposed to (C,H,W,O) before the
+2D reshape — a real relayout, fused by XLA into the producing ops.
 
 Note: XLA's native convs are extremely good on TPU; this path exists for
 parity with the north-star kernel story and wins only when the weight tensor
@@ -24,7 +25,8 @@ from .masked_matmul import masked_matmul
 
 
 def masked_conv2d(x, w, own, pm, task_id, stride: int = 1, padding="SAME",
-                  threshold: float = DEFAULT_THRESHOLD):
+                  threshold: float = DEFAULT_THRESHOLD,
+                  mask_mode: str = "binary"):
     """NHWC conv with HWIO weight; ownership/piggymask shaped like w.
 
     y[n,i,j,o] = sum_{dh,dw,c} x_pad[n, i*s+dh, j*s+dw, c] * w_eff[dh,dw,c,o]
@@ -41,7 +43,7 @@ def masked_conv2d(x, w, own, pm, task_id, stride: int = 1, padding="SAME",
     w2 = jnp.transpose(w, (2, 0, 1, 3)).reshape(cin * kh * kw, cout)
     own2 = jnp.transpose(own, (2, 0, 1, 3)).reshape(cin * kh * kw, cout)
     pm2 = jnp.transpose(pm, (2, 0, 1, 3)).reshape(cin * kh * kw, cout)
-    y = masked_matmul(pmat, w2, own2, pm2, task_id, threshold)
+    y = masked_matmul(pmat, w2, own2, pm2, task_id, threshold, mask_mode)
     return y.reshape(n, ho, wo, cout)
 
 

@@ -53,16 +53,21 @@ def _pad2(a, m0, m1):
     return a
 
 
-def _mask_tile(w, own, pm, tid, threshold, dot_dtype):
+def _mask_tile(w, own, pm, tid, threshold, dot_dtype, mask_mode="binary"):
     """Effective-weight selection on one VMEM tile.
 
-    Select in the weight's own dtype, then cast to `dot_dtype` (= the
-    activation dtype) so the MXU runs its fast bf16 path when training in
-    bf16 — an f32 dot on v5e is ~4x slower."""
+    mask_mode 'binary' (ref Binarizer: pm > thr picks +w) or 'ternary'
+    (ref Ternarizer: pm > thr picks +w, pm < 0 picks -w — prior weights can
+    be reused with flipped sign). Select in the weight's own dtype, then cast
+    to `dot_dtype` (= the activation dtype) so the MXU runs its fast bf16
+    path when training in bf16 — an f32 dot on v5e is ~4x slower."""
     wf = w.astype(jnp.float32)
     owned = own == tid
     prior = (own > 0) & (own < tid)
-    picked = jnp.where(pm > threshold, wf, 0.0)
+    if mask_mode == "ternary":
+        picked = jnp.where(pm > threshold, wf, jnp.where(pm < 0, -wf, 0.0))
+    else:
+        picked = jnp.where(pm > threshold, wf, 0.0)
     return jnp.where(owned, wf, jnp.where(prior, picked, 0.0)).astype(dot_dtype)
 
 
@@ -72,7 +77,7 @@ def _mask_tile(w, own, pm, tid, threshold, dot_dtype):
 
 
 def _fwd_kernel(tid_ref, x_ref, w_ref, own_ref, pm_ref, o_ref, acc_ref,
-                *, threshold, out_dtype, nk):
+                *, threshold, out_dtype, nk, mask_mode):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -81,7 +86,7 @@ def _fwd_kernel(tid_ref, x_ref, w_ref, own_ref, pm_ref, o_ref, acc_ref,
 
     tid = tid_ref[0]
     weff = _mask_tile(w_ref[:], own_ref[:].astype(jnp.int32), pm_ref[:], tid,
-                      threshold, x_ref.dtype)
+                      threshold, x_ref.dtype, mask_mode)
     acc_ref[:] += jnp.dot(x_ref[:], weff, preferred_element_type=jnp.float32)
 
     @pl.when(k == nk - 1)
@@ -89,7 +94,7 @@ def _fwd_kernel(tid_ref, x_ref, w_ref, own_ref, pm_ref, o_ref, acc_ref,
         o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
-def _fwd(x, w, own, pm, task_id, threshold):
+def _fwd(x, w, own, pm, task_id, threshold, mask_mode):
     m, k0 = x.shape
     _, n0 = w.shape
     # bm as large as fits: the w/own/pm side is 9B per weight, so every extra
@@ -111,7 +116,7 @@ def _fwd(x, w, own, pm, task_id, threshold):
     grid = (mp // bm, np_ // bn, nk)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, threshold=threshold, out_dtype=x.dtype,
-                          nk=nk),
+                          nk=nk, mask_mode=mask_mode),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -143,7 +148,7 @@ def _fwd(x, w, own, pm, task_id, threshold):
 
 
 def _bwd_dx_kernel(tid_ref, g_ref, w_ref, own_ref, pm_ref, o_ref, acc_ref,
-                   *, threshold, out_dtype, nj):
+                   *, threshold, out_dtype, nj, mask_mode):
     j = pl.program_id(2)
 
     @pl.when(j == 0)
@@ -152,7 +157,7 @@ def _bwd_dx_kernel(tid_ref, g_ref, w_ref, own_ref, pm_ref, o_ref, acc_ref,
 
     tid = tid_ref[0]
     weff = _mask_tile(w_ref[:], own_ref[:].astype(jnp.int32), pm_ref[:], tid,
-                      threshold, g_ref.dtype)
+                      threshold, g_ref.dtype, mask_mode)
     # g (TM,TN) x w_eff (TK,TN) contracting the N axis -> (TM,TK)
     acc_ref[:] += jax.lax.dot_general(
         g_ref[:], weff,
@@ -165,7 +170,7 @@ def _bwd_dx_kernel(tid_ref, g_ref, w_ref, own_ref, pm_ref, o_ref, acc_ref,
         o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
-def _bwd_dx(g, w, own, pm, task_id, threshold, x_dtype):
+def _bwd_dx(g, w, own, pm, task_id, threshold, x_dtype, mask_mode):
     m, n0 = g.shape
     k0 = w.shape[0]
     # same tuning shape as the forward: wide output columns, short inner slabs
@@ -182,7 +187,7 @@ def _bwd_dx(g, w, own, pm, task_id, threshold, x_dtype):
     grid = (mp // bm, kp // bk, nj)
     out = pl.pallas_call(
         functools.partial(_bwd_dx_kernel, threshold=threshold,
-                          out_dtype=x_dtype, nj=nj),
+                          out_dtype=x_dtype, nj=nj, mask_mode=mask_mode),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -284,25 +289,28 @@ def _bwd_dw(x, g, w, own, task_id):
 # --------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def masked_matmul(x, w, own, pm, task_id, threshold=DEFAULT_THRESHOLD):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def masked_matmul(x, w, own, pm, task_id, threshold=DEFAULT_THRESHOLD,
+                  mask_mode="binary"):
     """y = x @ w_eff with ownership/piggymask selection fused into the tiles.
 
-    x: (M, K); w, own, pm: (K, N); task_id: int scalar. Returns (M, N) in
-    x.dtype. Gradients: dx (masked), dw gated to own==task_id, dpm the STE
-    grad on prior-task entries; d(own) = d(task_id) = None.
+    x: (M, K); w, own, pm: (K, N); task_id: int scalar; mask_mode 'binary' |
+    'ternary' (ref Binarizer/Ternarizer). Returns (M, N) in x.dtype.
+    Gradients: dx (masked), dw gated to own==task_id, dpm the STE grad on
+    prior-task entries (identical for both modes: d(t*w)/dpm = w under the
+    straight-through estimator); d(own) = d(task_id) = None.
     """
-    return _fwd(x, w, own, pm, task_id, threshold)
+    return _fwd(x, w, own, pm, task_id, threshold, mask_mode)
 
 
-def _mm_fwd(x, w, own, pm, task_id, threshold):
-    y = _fwd(x, w, own, pm, task_id, threshold)
+def _mm_fwd(x, w, own, pm, task_id, threshold, mask_mode):
+    y = _fwd(x, w, own, pm, task_id, threshold, mask_mode)
     return y, (x, w, own, pm, task_id)
 
 
-def _mm_bwd(threshold, res, g):
+def _mm_bwd(threshold, mask_mode, res, g):
     x, w, own, pm, task_id = res
-    dx = _bwd_dx(g, w, own, pm, task_id, threshold, x.dtype)
+    dx = _bwd_dx(g, w, own, pm, task_id, threshold, x.dtype, mask_mode)
     dw, dpm = _bwd_dw(x, g, w, own, task_id)
     return dx, dw.astype(w.dtype), None, dpm.astype(pm.dtype), None
 
@@ -311,14 +319,18 @@ masked_matmul.defvjp(_mm_fwd, _mm_bwd)
 
 
 def masked_matmul_reference(x, w, own, pm, task_id,
-                            threshold=DEFAULT_THRESHOLD):
+                            threshold=DEFAULT_THRESHOLD,
+                            mask_mode="binary"):
     """jnp oracle with identical semantics (binarize STE handled by caller's
     effective_params path; here the plain forward for parity checks)."""
     tid = jnp.asarray(task_id, jnp.int32)
     own = own.astype(jnp.int32)
     wf = w.astype(jnp.float32)
+    if mask_mode == "ternary":
+        picked = jnp.where(pm > threshold, wf, jnp.where(pm < 0, -wf, 0.0))
+    else:
+        picked = jnp.where(pm > threshold, wf, 0.0)
     weff = jnp.where(
         own == tid, wf,
-        jnp.where((own > 0) & (own < tid),
-                  jnp.where(pm > threshold, wf, 0.0), 0.0))
+        jnp.where((own > 0) & (own < tid), picked, 0.0))
     return jnp.dot(x.astype(jnp.float32), weff).astype(x.dtype)

@@ -79,18 +79,33 @@ def place_state(mesh: Mesh, tree, sharding=None):
 def make_parallel_train_step(step_fn, mesh: Mesh, model_sharded: bool = False):
     """Re-jit a built train step with mesh shardings.
 
-    `step_fn` is the UNJITTED step signature from train/step.py
-    (shared, piggymask, private, bn_state, opt_w, opt_pm, ownership, task_id,
-    x, y, rng). Inputs x/y are data-sharded; everything else replicated (or
-    model-sharded kernels). XLA inserts psum for grads/metrics/BN stats.
+    `step_fn` is the UNJITTED step, the full 12-arg shared signature from
+    train/step.py: (shared, piggymask, private, bn_state, opt_w, opt_pm,
+    ownership, task_id, x, y, rng, it). Inputs x/y are data-sharded;
+    everything else replicated (or model-sharded kernels) — `it` (the global
+    step driving annealed losses, e.g. A-Softmax lambda) rides along
+    replicated so the face experiment runs data-parallel unchanged. XLA
+    inserts psum for grads/metrics/BN stats.
     """
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
     # shardings resolved lazily per-arg by jit when given as trees of
     # NamedSharding; replicated for state, data-sharded for the batch.
-    in_shardings = (rep, rep, rep, rep, rep, rep, rep, rep, bsh, bsh, rep)
+    in_shardings = (rep, rep, rep, rep, rep, rep, rep, rep, bsh, bsh, rep, rep)
     return jax.jit(
         step_fn,
         in_shardings=in_shardings,
         donate_argnums=(0, 1, 2, 3, 4, 5),
+    )
+
+
+def make_parallel_eval_step(eval_fn, mesh: Mesh):
+    """Jit the UNJITTED eval step (train/step.py build_eval_step signature:
+    shared, piggymask, private, bn_state, ownership, task_id, x, y) with
+    replicated state and data-sharded batches."""
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(
+        eval_fn,
+        in_shardings=(rep, rep, rep, rep, rep, rep, bsh, bsh),
     )

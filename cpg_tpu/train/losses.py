@@ -30,6 +30,21 @@ def cross_entropy(logits, labels):
     return -jnp.take_along_axis(logp, labels[:, None], axis=1).mean()
 
 
+def make_cross_entropy(label_smoothing: float = 0.0):
+    """CE with uniform label smoothing: target = (1-eps)*onehot + eps/C.
+    label_smoothing=0 returns the plain `cross_entropy`."""
+    if not label_smoothing:
+        return cross_entropy
+
+    def loss(logits, labels):
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32))
+        nll = -jnp.take_along_axis(logp, labels[:, None], axis=1).mean()
+        uniform = -logp.mean()
+        return (1.0 - label_smoothing) * nll + label_smoothing * uniform
+
+    return loss
+
+
 def accuracy(logits, labels):
     return (jnp.argmax(logits, axis=-1) == labels).mean()
 

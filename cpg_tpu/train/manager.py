@@ -42,6 +42,12 @@ def _lr_at(base_lr: float, epoch: int, total_epochs: int, schedule: str) -> floa
         return 0.5 * base_lr * (1 + math.cos(math.pi * epoch / max(total_epochs, 1)))
     if schedule == "constant":
         return base_lr
+    if schedule == "step":
+        # reference-style step decay (ref:experiment*/ *.sh drive torch
+        # MultiStepLR-like drops): x0.1 at 50% and 75% of the phase
+        # [M — recalled milestones; re-verify if the mount appears]
+        frac = epoch / max(total_epochs, 1)
+        return base_lr * (0.1 ** ((frac >= 0.5) + (frac >= 0.75)))
     raise ValueError(schedule)
 
 
@@ -63,6 +69,7 @@ class Manager:
         lr_schedule: str = "cosine",
         native_loader: bool = False,
         jsonl_path: Optional[str] = None,
+        mesh=None,
     ):
         self.state = state
         self.model_fn = model_fn
@@ -76,6 +83,7 @@ class Manager:
         self.rng = jax.random.PRNGKey(seed)
         self.it = 0  # global step (drives annealed losses, e.g. A-Softmax)
         self.has_piggymask = self.task.piggymask is not None
+        self.mesh = mesh
 
         kwargs = dict(
             num_classes=self.task.num_classes,
@@ -86,10 +94,38 @@ class Manager:
             mask_mode=getattr(state, "mask_mode", "binary"),
         )
         extra = {} if loss_fn is None else {"loss_fn": loss_fn}
-        self.train_step, (self.opt_w, self.opt_pm) = make_train_step(
-            model_fn, augment_fn=augment_fn, **kwargs, **extra
-        )
-        self.eval_step = make_eval_step(model_fn, preprocess_fn=preprocess_fn, **kwargs)
+        if mesh is not None:
+            # Multi-device path (SURVEY §5 distributed row): batch-sharded
+            # step over the mesh, state replicated, grads/metrics psum'd by
+            # XLA over ICI. The state trees are placed on the mesh once here;
+            # batches are sharded per step in _train_batches' consumer.
+            from ..parallel.mesh import (make_parallel_eval_step,
+                                         make_parallel_train_step, place_state)
+            from .step import build_eval_step, build_train_step
+
+            n_data = mesh.shape["data"]
+            if batch_size % n_data:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by data-axis "
+                    f"size {n_data}")
+            raw_step, (self.opt_w, self.opt_pm) = build_train_step(
+                model_fn, augment_fn=augment_fn, **kwargs, **extra)
+            self.train_step = make_parallel_train_step(raw_step, mesh)
+            self.eval_step = make_parallel_eval_step(
+                build_eval_step(model_fn, preprocess_fn=preprocess_fn,
+                                **kwargs), mesh)
+            state.shared = place_state(mesh, state.shared)
+            state.ownership = place_state(mesh, state.ownership)
+            if self.has_piggymask:
+                self.task.piggymask = place_state(mesh, self.task.piggymask)
+            self.task.private = place_state(mesh, self.task.private)
+            self.task.bn_state = place_state(mesh, self.task.bn_state)
+        else:
+            self.train_step, (self.opt_w, self.opt_pm) = make_train_step(
+                model_fn, augment_fn=augment_fn, **kwargs, **extra
+            )
+            self.eval_step = make_eval_step(
+                model_fn, preprocess_fn=preprocess_fn, **kwargs)
         self._jsonl = None
         if jsonl_path:
             from ..utils import JsonlWriter
@@ -175,14 +211,24 @@ class Manager:
                 if (
                     prune_to is not None
                     and prune_begin <= step_i <= prune_end
-                    and (step_i - prune_begin) % prune_freq == 0
+                    and ((step_i - prune_begin) % prune_freq == 0
+                         or step_i == prune_end)
                 ):
+                    # the `or step_i == prune_end` forces the final event to
+                    # land EXACTLY at the window end regardless of prune_freq
+                    # alignment, so every remaining retrain step sees final
+                    # sparsity (the reference reaches the target inside the
+                    # schedule and retrains at final sparsity)
                     from ..core.schedule import cubic_sparsity
 
                     target = cubic_sparsity(
                         step_i, prune_begin, prune_end, init_sparsity, prune_to)
                     shared, ownership = pruner.gradual_prune(
                         shared, ownership, self.task_id, target, n0)
+                if self.mesh is not None:
+                    from ..parallel.mesh import shard_batch
+
+                    bx, by = shard_batch(self.mesh, bx, by)
                 self.rng, sub = jax.random.split(self.rng)
                 (shared, pm, private, bn_state, opt_w_state, opt_pm_state,
                  metrics) = self.train_step(
@@ -204,7 +250,8 @@ class Manager:
                 "likely NaN (run core.invariants.check_state)",
                 self.task_id, self.task.name, losses[-1])
 
-        # final prune event to exactly the target (window may not land on it)
+        # safety net: if prune_end == total_steps the loop never reaches it
+        # (step_i stops at total_steps-1); land exactly on the target anyway
         if prune_to is not None:
             shared, ownership = pruner.gradual_prune(
                 shared, ownership, self.task_id, prune_to, n0)
@@ -249,6 +296,10 @@ class Manager:
                 pad = bs - nvalid
                 bx = np.concatenate([bx, np.repeat(bx[-1:], pad, axis=0)])
                 by = np.concatenate([by, np.repeat(by[-1:], pad, axis=0)])
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_batch
+
+                bx, by = shard_batch(self.mesh, bx, by)
             logits, _ = self.eval_step(
                 self.state.shared, pm, task.private, task.bn_state,
                 self.state.ownership, task_id, bx, by,

@@ -59,6 +59,114 @@ def adopt_pretrained_task1(
     return 1
 
 
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Read a reference .pth/.pth.tar checkpoint into {key: ndarray}.
+
+    The reference releases torch.save dicts ({'model_state_dict'|'state_dict'
+    : ..., 'masks': ..., 'shared_layer_info': ...}, ref:README.md links, or a
+    bare state_dict). torch (CPU build) decodes; keys keep their dotted torch
+    names; a leading 'module.' (DataParallel) is stripped."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    for k in ("model_state_dict", "state_dict", "model"):
+        if isinstance(obj, dict) and k in obj and isinstance(obj[k], dict):
+            obj = obj[k]
+            break
+    out = {}
+    for k, v in obj.items():
+        if not hasattr(v, "numpy"):
+            continue
+        out[k[len("module."):] if k.startswith("module.") else k] = \
+            v.detach().cpu().numpy()
+    return out
+
+
+def convert_torch_vgg16_bn(state_dict: Dict[str, np.ndarray]):
+    """VGG16-BN state_dict (reference custom_vgg / torchvision layout:
+    features.N.* with BN after each conv) -> (shared, private, bn_state) in
+    cpg_tpu naming (models/vgg.py: features/conv{i}, features/bn{i},
+    classifier head). Order-based: the i-th 4D features weight is conv i, the
+    i-th BN parameter set is bn i — robust to the exact Sequential indices.
+    The final 2D weight becomes the (task-private) classifier head."""
+    shared, private, bn = {}, {}, {}
+    feats = {}
+    for k, v in state_dict.items():
+        v = np.asarray(v)
+        parts = k.split(".")
+        if parts[0] in ("features", "shared"):  # ref custom_vgg uses a
+            # 'features'/'shared' Sequential for the conv trunk
+            feats.setdefault(int(parts[1]), {})[parts[-1]] = v
+    conv_i = bn_i = 0
+    for idx in sorted(feats):
+        p = feats[idx]
+        if "weight" in p and p["weight"].ndim == 4:
+            shared[f"features/conv{conv_i}/kernel"] = np.transpose(
+                p["weight"], (2, 3, 1, 0))  # OIHW -> HWIO
+            conv_i += 1
+        elif "running_mean" in p:
+            private[f"features/bn{bn_i}/scale"] = p["weight"]
+            private[f"features/bn{bn_i}/bias"] = p["bias"]
+            bn[f"features/bn{bn_i}/mean"] = p["running_mean"]
+            bn[f"features/bn{bn_i}/var"] = p["running_var"]
+            bn_i += 1
+    # classifier: last 2D weight anywhere outside features
+    heads = [(k, np.asarray(v)) for k, v in state_dict.items()
+             if np.asarray(v).ndim == 2 and not k.startswith(("features.",
+                                                              "shared."))]
+    if heads:
+        k, w = heads[-1]
+        private["classifier/kernel"] = w.T  # torch (out,in) -> (in,out)
+        bkey = k.rsplit(".", 1)[0] + ".bias"
+        if bkey in state_dict:
+            private["classifier/bias"] = np.asarray(state_dict[bkey])
+    return shared, private, bn
+
+
+def convert_torch_spherenet20(state_dict: Dict[str, np.ndarray]):
+    """sphere20a-style state_dict (conv{s}_{j}/relu{s}_{j}/fc5/fc6 naming,
+    ref:models/spherenet.py lineage) -> (shared, private, bn_state={}) in
+    cpg_tpu naming (models/spherenet.py: stage{s}/down, stage{s}/unit{u}/
+    conv{1,2} + task-private PReLU slopes, fc5, classifier_angle).
+
+    fc5 needs a ROW PERMUTATION, not just a transpose: torch flattens NCHW
+    (c,h,w)-major while this stack flattens NHWC (h,w,c)-major."""
+    from ..models.spherenet import STAGES, _FLAT_HW
+
+    shared, private = {}, {}
+    h, w = _FLAT_HW
+
+    def conv(t):
+        return np.transpose(np.asarray(t), (2, 3, 1, 0))
+
+    for si, (_, units) in enumerate(STAGES):
+        s = si + 1
+        shared[f"stage{s}/down/kernel"] = conv(state_dict[f"conv{s}_1.weight"])
+        private[f"stage{s}/down_prelu/slope"] = np.asarray(
+            state_dict[f"relu{s}_1.weight"])
+        for u in range(units):
+            for half in (1, 2):
+                j = 2 + 2 * u + (half - 1)
+                shared[f"stage{s}/unit{u}/conv{half}/kernel"] = conv(
+                    state_dict[f"conv{s}_{j}.weight"])
+                private[f"stage{s}/unit{u}/prelu{half}/slope"] = np.asarray(
+                    state_dict[f"relu{s}_{j}.weight"])
+    fc5 = np.asarray(state_dict["fc5.weight"])  # (512, c*h*w) torch Linear
+    c = fc5.shape[1] // (h * w)
+    # torch rows (after .T) are (c,h,w)-ordered; ours are (h,w,c)-ordered
+    shared["fc5/kernel"] = (
+        fc5.T.reshape(c, h, w, fc5.shape[0])
+        .transpose(1, 2, 0, 3)
+        .reshape(h * w * c, fc5.shape[0]))
+    if "fc5.bias" in state_dict:
+        private["fc5/bias"] = np.asarray(state_dict["fc5.bias"])
+    if "fc6.weight" in state_dict:  # AngleLinear stores (in, out) already
+        w6 = np.asarray(state_dict["fc6.weight"])
+        private["classifier_angle/kernel"] = (
+            w6 if w6.shape[0] == fc5.shape[0] else w6.T)
+    return shared, private, {}
+
+
 def convert_torch_resnet50(state_dict: Dict[str, np.ndarray]):
     """torchvision ResNet-50 state_dict -> (shared, private, bn_state) in
     cpg_tpu naming. Accepts a {key: ndarray} dict (e.g. torch tensors already

@@ -112,8 +112,17 @@ def start_task(
 
 
 def grow_state(state: CPGState, new_mult: float, rng,
-               flatten_dims=None) -> CPGState:
-    """Widen the network to `new_mult`, preserving all existing tasks exactly."""
+               flatten_dims="auto") -> CPGState:
+    """Widen the network to `new_mult`, preserving all existing tasks exactly.
+
+    flatten_dims: "auto" resolves the arch's registered flatten-permutation
+    layers (models.FLATTEN_DIMS — e.g. SphereNet fc5, whose flattened (H,W,C)
+    input index interleaves channels); pass an explicit dict or None to
+    override."""
+    if flatten_dims == "auto":
+        from ..models import get_flatten_dims
+
+        flatten_dims = get_flatten_dims(state.arch)
     model_fn, in_shape = get_model(state.arch)
     x = jnp.zeros((1, *in_shape), jnp.float32)
     fresh_shared, _, _ = fw.init(rng, model_fn, x, num_classes=2, mult=new_mult)
@@ -149,9 +158,11 @@ class SequenceConfig:
     reinit_free: bool = False
     prune_freq: int = 20
     seed: int = 0
-    lr_schedule: str = "cosine"        # 'cosine' | 'constant' per phase
+    lr_schedule: str = "cosine"        # 'cosine' | 'constant' | 'step'
     checkpoint_dir: Optional[str] = None  # orbax save at phase boundaries
     resume: bool = True                # skip tasks with a final checkpoint
+    native_loader: bool = False        # C++ prefetch-ring batcher (native/)
+    jsonl_path: Optional[str] = None   # structured per-phase JSONL metrics
 
 
 @dataclasses.dataclass
@@ -177,23 +188,26 @@ def run_task(
     augment_fn=None,
     preprocess_fn=None,
     record_path: Optional[str] = None,
+    mesh=None,
 ) -> TaskReport:
     """One full CPG task cycle: pick (train) -> [grow+retry] -> compact."""
     model_fn, _ = get_model(state.arch)
     rng = jax.random.PRNGKey(seq.seed + state.num_tasks + 1)
     pre_task = snapshot(state)
     grew = 0
+    mgr_kw = dict(
+        batch_size=seq.batch_size, augment_fn=augment_fn,
+        preprocess_fn=preprocess_fn, seed=seq.seed,
+        loss_fn=data.get("loss_fn"), lr_schedule=seq.lr_schedule,
+        native_loader=seq.native_loader, jsonl_path=seq.jsonl_path, mesh=mesh,
+    )
 
     # ---- PICK (train masks + free capacity), growing on goal miss ----------
     while True:
         task_id = start_task(state, name, data["num_classes"], rng,
                              reinit_free=seq.reinit_free,
                              model_kwargs=data.get("model_kwargs"))
-        mgr = Manager(
-            state, model_fn, task_id, data, cfg, batch_size=seq.batch_size,
-            augment_fn=augment_fn, preprocess_fn=preprocess_fn, seed=seq.seed,
-            loss_fn=data.get("loss_fn"), lr_schedule=seq.lr_schedule,
-        )
+        mgr = Manager(state, model_fn, task_id, data, cfg, **mgr_kw)
         res = mgr.train(seq.finetune_epochs, base_lr=seq.lr)
         pick_acc = res.acc
         goal = (goal_acc - seq.allow_acc_diff) if goal_acc is not None else None
@@ -231,11 +245,7 @@ def run_task(
     for ratio in seq.prune_ratios:
         if seq.compact_mode == "restart":
             state.__dict__.update(snapshot(post_pick).__dict__)
-            mgr = Manager(state, model_fn, task_id, data, cfg,
-                          batch_size=seq.batch_size, augment_fn=augment_fn,
-                          preprocess_fn=preprocess_fn, seed=seq.seed,
-                          loss_fn=data.get("loss_fn"),
-                          lr_schedule=seq.lr_schedule)
+            mgr = Manager(state, model_fn, task_id, data, cfg, **mgr_kw)
         res = mgr.train(
             seq.prune_epochs + seq.retrain_epochs, base_lr=seq.lr * 0.1,
             prune_to=ratio, prune_freq=seq.prune_freq,
@@ -281,6 +291,7 @@ def run_sequence(
     width_mult: float = 1.0,
     record_dir: Optional[str] = None,
     state: Optional[CPGState] = None,
+    mesh=None,
 ) -> Tuple[CPGState, List[TaskReport]]:
     """The whole multi-task CPG run (= the reference's experiment1 pipeline).
 
@@ -324,7 +335,7 @@ def run_sequence(
         rep = run_task(
             state, name, data, cfg, seq,
             goal_acc=(goals or {}).get(name), augment_fn=augment_fn,
-            preprocess_fn=preprocess_fn, record_path=rec,
+            preprocess_fn=preprocess_fn, record_path=rec, mesh=mesh,
         )
         reports.append(rep)
         if seq.checkpoint_dir:

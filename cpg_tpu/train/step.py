@@ -45,6 +45,13 @@ class TrainConfig:
                          # (large models / batches; ResNet-50 @ 224px)
     grad_clip_norm: Optional[float] = None  # global-norm clip (SGD side);
                          # unnormalized trunks (SphereNet) diverge at high lr
+    use_pallas: bool = False  # fused Pallas masked matmul in sdense layers:
+                         # ownership/binarize/select happen in the MXU tile
+                         # loads, the effective weight never hits HBM
+    use_pallas_conv: bool = False  # fused masked conv (implicit GEMM over
+                         # patches). NOTE: im2col inflates activation traffic
+                         # ~k^2 x; XLA's native conv usually wins — measure
+                         # (bench.py ablation) before enabling
 
 
 def make_optimizers(cfg: TrainConfig):
@@ -88,12 +95,18 @@ def build_train_step(
     """
     opt_w, opt_pm = make_optimizers(cfg)
     model_kwargs = model_kwargs or {}
+    if cfg.label_smoothing and loss_fn is cross_entropy:
+        from .losses import make_cross_entropy
 
-    def forward(eff, private, bn_state, x):
+        loss_fn = make_cross_entropy(cfg.label_smoothing)
+
+    use_fused = cfg.use_pallas or cfg.use_pallas_conv
+
+    def forward(params, private, bn_state, x, masking=None):
         return fw.apply(
-            model_fn, eff, private, bn_state, x, train=True,
-            compute_dtype=cfg.compute_dtype, num_classes=num_classes,
-            mult=mult, **model_kwargs,
+            model_fn, params, private, bn_state, x, train=True,
+            compute_dtype=cfg.compute_dtype, masking=masking,
+            num_classes=num_classes, mult=mult, **model_kwargs,
         )
 
     if cfg.remat:
@@ -107,12 +120,23 @@ def build_train_step(
             x = augment_fn(x, rng)
 
         def compute_loss(shared, piggymask, private):
-            eff = effective_params(
-                shared, ownership, piggymask if has_piggymask else None,
-                task_id, cfg.threshold, compute_dtype=cfg.compute_dtype,
-                mask_mode=mask_mode,
-            )
-            logits, new_bn = forward(eff, private, bn_state, x)
+            if use_fused:
+                # raw-weight mode: per-layer selection inside the model —
+                # sdense/sconv call the fused Pallas kernels (Masking)
+                masking = fw.Masking(
+                    ownership=ownership,
+                    piggymask=piggymask if has_piggymask else None,
+                    task_id=task_id, threshold=cfg.threshold,
+                    mask_mode=mask_mode, pallas_dense=cfg.use_pallas,
+                    pallas_conv=cfg.use_pallas_conv)
+                logits, new_bn = forward(shared, private, bn_state, x, masking)
+            else:
+                eff = effective_params(
+                    shared, ownership, piggymask if has_piggymask else None,
+                    task_id, cfg.threshold, compute_dtype=cfg.compute_dtype,
+                    mask_mode=mask_mode,
+                )
+                logits, new_bn = forward(eff, private, bn_state, x)
             return call_loss(loss_fn, logits, y, it), (logits, new_bn)
 
         (loss, (logits, new_bn)), grads = jax.value_and_grad(
@@ -157,7 +181,7 @@ def make_train_step(model_fn: Callable, **kwargs):
     return jax.jit(step, donate_argnums=(0, 1, 2, 3, 4, 5)), opts
 
 
-def make_eval_step(
+def build_eval_step(
     model_fn: Callable,
     *,
     num_classes: int,
@@ -168,26 +192,44 @@ def make_eval_step(
     model_kwargs: Optional[Dict] = None,
     mask_mode: str = "binary",
 ):
-    """Task-conditioned inference step (ref --mode inference, SURVEY §3.4):
-    only weights with 0 < ownership <= task_id are visible, prior entries
-    gated by the task's binarized piggymask; task-private BN stats/head."""
+    """Task-conditioned inference step, UNJITTED (for custom jit/pjit
+    wrapping — see parallel/mesh.py make_parallel_eval_step).
+
+    Semantics (ref --mode inference, SURVEY §3.4): only weights with
+    0 < ownership <= task_id are visible, prior entries gated by the task's
+    binarized piggymask; task-private BN stats/head."""
     model_kwargs = model_kwargs or {}
 
     def step(shared, piggymask, private, bn_state, ownership, task_id, x, y):
         if preprocess_fn is not None:
             x = preprocess_fn(x)
-        eff = effective_params(
-            shared, ownership, piggymask if has_piggymask else None, task_id,
-            cfg.threshold, compute_dtype=cfg.compute_dtype,
-            mask_mode=mask_mode,
-        )
+        if cfg.use_pallas or cfg.use_pallas_conv:
+            masking = fw.Masking(
+                ownership=ownership,
+                piggymask=piggymask if has_piggymask else None,
+                task_id=task_id, threshold=cfg.threshold, mask_mode=mask_mode,
+                pallas_dense=cfg.use_pallas, pallas_conv=cfg.use_pallas_conv)
+            eff = shared
+        else:
+            masking = None
+            eff = effective_params(
+                shared, ownership, piggymask if has_piggymask else None,
+                task_id, cfg.threshold, compute_dtype=cfg.compute_dtype,
+                mask_mode=mask_mode,
+            )
         logits, _ = fw.apply(
             model_fn, eff, private, bn_state, x, train=False,
-            compute_dtype=cfg.compute_dtype, num_classes=num_classes, mult=mult,
+            compute_dtype=cfg.compute_dtype, masking=masking,
+            num_classes=num_classes, mult=mult,
             **model_kwargs,
         )
         cl = class_logits(logits)
         return logits, {"acc_sum": (jnp.argmax(cl, -1) == y).sum(),
                         "loss": cross_entropy(cl, y)}
 
-    return jax.jit(step)
+    return step
+
+
+def make_eval_step(model_fn: Callable, **kwargs):
+    """The jitted single-host eval step (see build_eval_step)."""
+    return jax.jit(build_eval_step(model_fn, **kwargs))

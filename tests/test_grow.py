@@ -63,6 +63,39 @@ def test_grown_capacity_trains_new_task_without_forgetting():
     np.testing.assert_array_equal(np.array(before), np.array(predict(state, 1, x)))
 
 
+def test_grow_spherenet20_flatten_auto_bit_exact():
+    """SphereNet fc5 is fed by a (7,6,C) spatial flatten: growth must use the
+    registered flatten-permutation embedding (models.FLATTEN_DIMS resolved by
+    grow_state's default flatten_dims='auto'), or channel interleaving shifts
+    old rows and silently changes old-task outputs."""
+    from cpg_tpu.core.pruner import one_shot_prune
+
+    state = init_state("spherenet20", jax.random.PRNGKey(0))
+    start_task(state, "face", 8, jax.random.PRNGKey(1),
+               model_kwargs={"head_type": "none"})
+    state.shared, state.ownership = one_shot_prune(
+        state.shared, state.ownership, 1, jnp.float32(0.5))
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(2, 112, 96, 3).astype(np.float32))
+    before = predict(state, 1, x)
+
+    grow_state(state, 1.5, jax.random.PRNGKey(9))  # flatten_dims auto-resolved
+    assert state.shared["fc5/kernel"].shape == (7 * 6 * 768, 768)
+    # The embedding gains channels on growth: old dims must carry the same
+    # math (tight allclose — XLA reduction order changes with the larger conv
+    # shapes, exactly as cuDNN's would for the reference) and the new ones
+    # must be EXACTLY zero for task 1's view. A wrong (block, non-flatten)
+    # embedding scrambles fc5 rows and fails both by orders of magnitude.
+    after = np.array(predict(state, 1, x))
+    np.testing.assert_allclose(np.array(before), after[:, :512],
+                               rtol=2e-3, atol=1e-5)
+    np.testing.assert_array_equal(after[:, 512:], 0.0)
+    # a new task claiming the grown capacity must not disturb task 1 either
+    start_task(state, "expr", 7, jax.random.PRNGKey(2),
+               model_kwargs={"head_type": "linear"})
+    np.testing.assert_array_equal(after, np.array(predict(state, 1, x)))
+
+
 def test_flatten_dense_embedding_permutation():
     # dense fed by a (H,W,C) flatten: old rows interleave, not a block
     h, w, c_old, c_new, out_old, out_new = 2, 3, 4, 6, 5, 8

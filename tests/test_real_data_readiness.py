@@ -1,0 +1,127 @@
+"""Real-data readiness: fabricated on-disk fixtures in the reference's
+NATIVE layouts (ImageFolder JPEG trees, CASIA identity folders, the official
+LFW pairs.txt) must round-trip through the loaders."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from cpg_tpu.data.face import (casia_task, eval_pairs, load_lfw_pairs,
+                               parse_lfw_pairs)
+from cpg_tpu.data.finegrained import finegrained_task
+from cpg_tpu.data.imagefolder import (decode_image, imagefolder_splits,
+                                      load_imagefolder)
+
+
+def _write_img(path, seed, hw=(40, 40)):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rng = np.random.RandomState(seed)
+    Image.fromarray(rng.randint(0, 255, (*hw, 3), dtype=np.uint8)).save(path)
+
+
+def _make_imagefolder(root, classes=("cardinal", "wren"), n=3, hw=(40, 40)):
+    for split in ("train", "test"):
+        for ci, c in enumerate(classes):
+            for i in range(n):
+                _write_img(os.path.join(root, split, c, f"img_{i}.jpg"),
+                           seed=ci * 100 + i, hw=hw)
+
+
+def test_load_imagefolder_layout(tmp_path):
+    root = str(tmp_path / "cubs")
+    _make_imagefolder(root)
+    x, y, classes = load_imagefolder(os.path.join(root, "train"),
+                                     hw=(32, 32), resize=36)
+    assert x.shape == (6, 32, 32, 3) and x.dtype == np.uint8
+    assert classes == ["cardinal", "wren"]  # sorted-folder rule
+    np.testing.assert_array_equal(np.unique(y), [0, 1])
+
+    fold = imagefolder_splits(root, hw=(32, 32), resize=36)
+    assert fold["num_classes"] == 2
+    assert fold["test_x"].shape == (6, 32, 32, 3)
+
+
+def test_finegrained_task_eats_imagefolder(tmp_path, monkeypatch):
+    _make_imagefolder(str(tmp_path / "cubs_cropped"), hw=(240, 240))
+    monkeypatch.setenv("CPG_DATA_DIR", str(tmp_path))
+    t = finegrained_task("cubs_cropped")
+    assert t["train_x"].shape == (6, 224, 224, 3)
+    assert t["num_classes"] == 2
+
+
+def test_casia_identity_folders(tmp_path, monkeypatch):
+    for pi, person in enumerate(["ada", "bob", "cyd"]):
+        for i in range(3):
+            _write_img(str(tmp_path / "casia" / person / f"{i}.jpg"),
+                       seed=pi * 10 + i, hw=(112, 96))
+    monkeypatch.setenv("CPG_DATA_DIR", str(tmp_path))
+    t = casia_task()
+    assert t["num_classes"] == 3
+    assert t["train_x"].shape[1:] == (112, 96, 3)
+    assert len(t["train_x"]) + len(t["test_x"]) == 9
+
+
+def test_lfw_pairs_protocol(tmp_path):
+    # canonical pairs.txt: header "2\t2", per fold 2 same + 2 diff lines
+    people = {"Ada_Lovelace": 3, "Bob_Noyce": 2, "Cyd_Charisse": 2,
+              "Don_Knuth": 2}
+    for pi, (name, n) in enumerate(people.items()):
+        proto = np.random.RandomState(pi).randint(0, 200, (112, 96, 3))
+        for i in range(1, n + 1):
+            jit = np.random.RandomState(pi * 10 + i).randint(0, 55,
+                                                             (112, 96, 3))
+            img = np.clip(proto + jit, 0, 255)
+            # symmetrize: eval_pairs embeds the horizontal flip too
+            img = ((img + img[:, ::-1]) // 2).astype(np.uint8)
+            p = tmp_path / name / f"{name}_{i:04d}.jpg"
+            os.makedirs(p.parent, exist_ok=True)
+            Image.fromarray(img).save(str(p))
+    lines = ["2\t2",
+             "Ada_Lovelace\t1\t2", "Bob_Noyce\t1\t2",
+             "Ada_Lovelace\t1\tBob_Noyce\t1", "Cyd_Charisse\t1\tDon_Knuth\t1",
+             "Cyd_Charisse\t1\t2", "Don_Knuth\t1\t2",
+             "Ada_Lovelace\t2\tCyd_Charisse\t2", "Bob_Noyce\t2\tDon_Knuth\t2"]
+    (tmp_path / "pairs.txt").write_text("\n".join(lines))
+
+    pairs = parse_lfw_pairs(str(tmp_path / "pairs.txt"))
+    assert len(pairs) == 8
+    assert [s for _, _, s in pairs] == [1, 1, 0, 0, 1, 1, 0, 0]
+    assert pairs[0] == (os.path.join("Ada_Lovelace", "Ada_Lovelace_0001.jpg"),
+                        os.path.join("Ada_Lovelace", "Ada_Lovelace_0002.jpg"),
+                        1)
+
+    x, i1, i2, same = load_lfw_pairs(str(tmp_path))
+    assert x.shape[1:] == (112, 96, 3) and len(i1) == 8
+
+    # nearest-prototype one-hot embedding: same pairs -> cos 1, diff -> 0;
+    # exercises the full fold protocol (threshold selection + held-out eval)
+    # deterministically
+    protos = np.stack([np.random.RandomState(pi).randint(0, 200,
+                                                         (112, 96, 3))
+                       for pi in range(len(people))]).astype(np.float32)
+    protos = ((protos + protos[:, :, ::-1]) / 2).reshape(len(people), -1)
+
+    def embed(b):
+        b = np.asarray(b, np.float32).reshape(len(b), -1)
+        d = ((b[:, None, :] - protos[None]) ** 2).sum(-1)
+        return np.eye(len(people), dtype=np.float32)[d.argmin(1)]
+
+    acc, std = eval_pairs(embed, x, i1, i2, same, batch_size=4, n_folds=2)
+    assert acc == 1.0
+
+
+def test_pairs_txt_malformed_raises(tmp_path):
+    (tmp_path / "pairs.txt").write_text("2\t2\nAda\t1\t2")
+    with pytest.raises(ValueError):
+        parse_lfw_pairs(str(tmp_path / "pairs.txt"))
+
+
+def test_decode_image_resize_and_crop(tmp_path):
+    p = str(tmp_path / "img.png")
+    _write_img(p, seed=0, hw=(60, 80))
+    a = decode_image(p, (32, 32), resize=36)  # short side 60 -> 36, crop 32
+    assert a.shape == (32, 32, 3)
+    b = decode_image(p, (16, 24), resize=None)  # direct resize
+    assert b.shape == (16, 24, 3)

@@ -1,0 +1,115 @@
+"""Golden parity vs ACTUAL torch models (not a self-authored simulator):
+build the reference architectures in torch (CPU), convert their state_dicts
+through train/pretrained.py, and assert the JAX forward matches the torch
+forward. This pins conv padding/alignment, BN eval semantics, PReLU, the
+fc5 flatten ordering, and the converters themselves."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn as nn
+
+from cpg_tpu.inference import predict
+from cpg_tpu.models.vgg import CFG_VGG16
+from cpg_tpu.train.pretrained import (adopt_pretrained_task1,
+                                      convert_torch_spherenet20,
+                                      convert_torch_vgg16_bn)
+from cpg_tpu.train.sequence import init_state
+
+torch.manual_seed(0)
+
+
+class TorchVGG16BN(nn.Module):
+    def __init__(self, num_classes=5):
+        super().__init__()
+        layers, cin = [], 3
+        for v in CFG_VGG16:
+            if v == "M":
+                layers.append(nn.MaxPool2d(2, 2))
+            else:
+                layers += [nn.Conv2d(cin, v, 3, padding=1, bias=False),
+                           nn.BatchNorm2d(v), nn.ReLU(inplace=True)]
+                cin = v
+        self.features = nn.Sequential(*layers)
+        self.classifier = nn.Linear(512, num_classes)
+
+    def forward(self, x):
+        return self.classifier(self.features(x).flatten(1))
+
+
+SPHERE_STAGES = [(64, 1), (128, 2), (256, 4), (512, 1)]
+
+
+class TorchSphere20(nn.Module):
+    """sphere20a layout (ref:models/spherenet.py lineage): stride-2 down conv
+    + PReLU, then residual (conv+PReLU, conv+PReLU) units; fc5 embedding."""
+
+    def __init__(self):
+        super().__init__()
+        cin = 3
+        for s, (c, units) in enumerate(SPHERE_STAGES, 1):
+            setattr(self, f"conv{s}_1", nn.Conv2d(cin, c, 3, 2, 1, bias=False))
+            setattr(self, f"relu{s}_1", nn.PReLU(c))
+            for j in range(2, 2 + 2 * units):
+                setattr(self, f"conv{s}_{j}",
+                        nn.Conv2d(c, c, 3, 1, 1, bias=False))
+                setattr(self, f"relu{s}_{j}", nn.PReLU(c))
+            cin = c
+        self.fc5 = nn.Linear(512 * 7 * 6, 512)
+
+    def forward(self, x):
+        for s, (c, units) in enumerate(SPHERE_STAGES, 1):
+            x = getattr(self, f"relu{s}_1")(getattr(self, f"conv{s}_1")(x))
+            for u in range(units):
+                j = 2 + 2 * u
+                y = getattr(self, f"relu{s}_{j}")(
+                    getattr(self, f"conv{s}_{j}")(x))
+                y = getattr(self, f"relu{s}_{j + 1}")(
+                    getattr(self, f"conv{s}_{j + 1}")(y))
+                x = x + y
+        return self.fc5(x.flatten(1))
+
+
+def _randomize_bn(m):
+    for mod in m.modules():
+        if isinstance(mod, nn.BatchNorm2d):
+            with torch.no_grad():
+                mod.running_mean.normal_(0, 0.1)
+                mod.running_var.uniform_(0.5, 1.5)
+                mod.weight.normal_(1.0, 0.1)
+                mod.bias.normal_(0, 0.1)
+
+
+def test_vgg16_bn_forward_matches_torch():
+    tm = TorchVGG16BN(num_classes=5).eval()
+    _randomize_bn(tm)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    shared, private, bn = convert_torch_vgg16_bn(sd)
+    assert len(shared) == 13 and len(bn) == 13 * 2
+
+    state = init_state("vgg16_bn_cifar", jax.random.PRNGKey(0))
+    adopt_pretrained_task1(state, "t1", 5, shared, private=private,
+                           bn_state=bn)
+    x = np.random.RandomState(0).randn(4, 32, 32, 3).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got = np.array(predict(state, 1, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_spherenet20_embedding_matches_torch():
+    tm = TorchSphere20().eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    shared, private, bn = convert_torch_spherenet20(sd)
+    assert "fc5/kernel" in shared and shared["fc5/kernel"].shape == (21504, 512)
+
+    state = init_state("spherenet20", jax.random.PRNGKey(0))
+    adopt_pretrained_task1(state, "face", 8, shared, private=private,
+                           bn_state=bn)
+    x = np.random.RandomState(1).randn(2, 112, 96, 3).astype(np.float32) * 0.5
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got = np.array(predict(state, 1, jnp.asarray(x),
+                           model_kwargs={"head_type": "none"}))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)

@@ -48,3 +48,50 @@ def test_manager_with_native_loader():
     assert mgr._batcher is not None
     res = mgr.train(epochs=8)
     assert res.acc > 0.8, f"native-loader training failed: {res.acc}"
+
+
+def test_step_lr_schedule():
+    from cpg_tpu.train.manager import _lr_at
+
+    assert _lr_at(0.1, 0, 100, "step") == 0.1
+    assert _lr_at(0.1, 49, 100, "step") == 0.1
+    assert abs(_lr_at(0.1, 50, 100, "step") - 0.01) < 1e-12
+    assert abs(_lr_at(0.1, 74, 100, "step") - 0.01) < 1e-12
+    assert abs(_lr_at(0.1, 75, 100, "step") - 0.001) < 1e-12
+
+
+def test_label_smoothing_loss():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cpg_tpu.train.losses import cross_entropy, make_cross_entropy
+
+    logits = jnp.asarray([[2.0, -1.0, 0.5], [0.0, 3.0, -2.0]])
+    labels = jnp.asarray([0, 1])
+    assert make_cross_entropy(0.0) is cross_entropy
+    ls = make_cross_entropy(0.1)
+    got = float(ls(logits, labels))
+    logp = np.log(np.exp(logits) / np.exp(logits).sum(1, keepdims=True))
+    q = np.full((2, 3), 0.1 / 3)
+    q[0, 0] += 0.9
+    q[1, 1] += 0.9
+    want = -(q * logp).sum(1).mean()
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_cli_preset_overlay():
+    import argparse
+
+    from cpg_tpu.cli import (EXPERIMENT_PRESETS, _FLAG_DEFAULTS,
+                             _apply_preset, build_parser)
+
+    build_parser()  # populates _FLAG_DEFAULTS
+
+    # simulate parsed args at defaults except an explicit --lr
+    ns = argparse.Namespace(experiment="cifar100", **{
+        k: _FLAG_DEFAULTS[k] for k in EXPERIMENT_PRESETS["cifar100"]})
+    ns.lr = 0.5  # user override must survive
+    _apply_preset(ns)
+    assert ns.lr == 0.5
+    assert ns.finetune_epochs == 100
+    assert ns.lr_schedule == "step"
