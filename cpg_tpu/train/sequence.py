@@ -163,6 +163,16 @@ class SequenceConfig:
     resume: bool = True                # skip tasks with a final checkpoint
     native_loader: bool = False        # C++ prefetch-ring batcher (native/)
     jsonl_path: Optional[str] = None   # structured per-phase JSONL metrics
+    verify_growth: bool = True         # audit every growth event: old-task
+    # logits on a probe batch must survive grow_state (catches flatten/embed
+    # bugs in production, not just tests). The criterion is SCALE-AWARE:
+    # max|d| <= atol + rtol * max(1, max|logits|), because the wider XLA
+    # program reassociates reductions at TPU bf16 multi-pass precision and
+    # the resulting drift is absolute in the activation scale (measured
+    # ~2e-2 on O(10) trained logits), while a wrong embedding produces
+    # diffs on the order of the logit scale itself.
+    verify_growth_rtol: float = 1e-2
+    verify_growth_atol: float = 1e-3
 
 
 @dataclasses.dataclass
@@ -226,7 +236,34 @@ def run_task(
         # GROW: rollback this task, widen, redo the pick
         grew += 1
         state.__dict__.update(snapshot(pre_task).__dict__)
+        probes = {}
+        if seq.verify_growth and state.tasks:
+            import numpy as np
+
+            from ..inference import predict
+            px = jnp.asarray(data["test_x"][:8])
+            if preprocess_fn is not None:
+                px = preprocess_fn(px)
+            probes = {tid: np.asarray(predict(state, tid, px))
+                      for tid in state.tasks}
         grow_state(state, new_mult, rng)
+        if probes:
+            import numpy as np
+
+            from ..inference import predict
+            for tid, before in probes.items():
+                after = np.asarray(predict(state, tid, px))
+                maxd = float(np.abs(before - after).max())
+                scale = max(1.0, float(np.abs(before).max()))
+                bound = seq.verify_growth_atol + seq.verify_growth_rtol * scale
+                if maxd > bound:
+                    raise RuntimeError(
+                        f"growth to mult {new_mult} changed task {tid} "
+                        f"predictions (max |d|={maxd:.3e} > {bound:.3e} at "
+                        f"logit scale {scale:.2f}) — embedding/flatten_dims "
+                        f"bug")
+                log.info("growth audit: task %d preds preserved "
+                         "(max |d|=%.2e, scale %.2f)", tid, maxd, scale)
         log.info("task %s: growing width multiplier -> %.2f", name, new_mult)
 
     # ---- COMPACT: walk prune ratios, keep the largest meeting the goal -----
