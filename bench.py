@@ -101,9 +101,11 @@ def main():
     # measure both and report the better img/s
     vgg_ms = _time_step("vgg16_bn_cifar", cfg, BATCH, WARMUP, ITERS,
                         augment_fn=cifar_train_augment)
-    vgg4096_ms = _time_step("vgg16_bn_cifar", cfg, 4096, 5, 10,
-                            augment_fn=cifar_train_augment)
-    cands = {BATCH: BATCH * 1e3 / vgg_ms, 4096: 4096 * 1e3 / vgg4096_ms}
+    ms_by_batch = {BATCH: vgg_ms}
+    for b, w, it in ((4096, 5, 10), (8192, 4, 8)):
+        ms_by_batch[b] = _time_step("vgg16_bn_cifar", cfg, b, w, it,
+                                    augment_fn=cifar_train_augment)
+    cands = {b: b * 1e3 / ms for b, ms in ms_by_batch.items()}
     best_batch = max(cands, key=cands.get)
     ips = cands[best_batch]
 
@@ -139,9 +141,8 @@ def main():
         "vs_baseline": round(ips / REF_GPU_IPS_ESTIMATE, 3),
         "detail": {
             "batch": best_batch, "iters": ITERS,
-            "step_ms": round(vgg_ms if best_batch == BATCH else vgg4096_ms, 3),
-            "ips_b1024": round(cands[BATCH], 1),
-            "ips_b4096": round(cands[4096], 1),
+            "step_ms": round(ms_by_batch[best_batch], 3),
+            "ips_by_batch": {str(b): round(v, 1) for b, v in cands.items()},
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
             "compute_dtype": "bfloat16",

@@ -57,8 +57,12 @@ class NativeBatcher:
     def __init__(self, x: np.ndarray, y: np.ndarray, batch_size: int,
                  seed: int = 0, shuffle: bool = True, capacity: int = 3):
         assert x.dtype == np.uint8 and x.ndim >= 2
-        self.x = np.ascontiguousarray(x)
-        self.y = np.ascontiguousarray(y.astype(np.int32))
+        # keep memmaps as-is (ascontiguousarray would pull the whole dataset
+        # into RAM — the C++ side reads through the borrowed pointer, so the
+        # OS pages larger-than-RAM datasets in on demand; see data/stream.py)
+        self.x = x if x.flags["C_CONTIGUOUS"] else np.ascontiguousarray(x)
+        y = y if y.dtype == np.int32 else y.astype(np.int32)
+        self.y = y if y.flags["C_CONTIGUOUS"] else np.ascontiguousarray(y)
         self.batch_size = batch_size
         self.item_shape = x.shape[1:]
         self.item_bytes = int(np.prod(self.item_shape))

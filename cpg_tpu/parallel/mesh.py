@@ -26,10 +26,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
-              devices=None) -> Mesh:
+              devices=None, n_dcn: int = 1) -> Mesh:
+    """Device mesh for the CPG step.
+
+    Axes: ("data", "model"), or ("dcn", "data", "model") when `n_dcn > 1` —
+    the hierarchical pod layout where `dcn` spans slices connected over the
+    data-center network and `data`/`model` ride ICI within a slice. The batch
+    shards over (dcn, data) jointly (see `batch_sharding`); XLA then lowers
+    the gradient/metric reduction as a hierarchical all-reduce: reduce-scatter
+    over ICI first, the small cross-slice hop over DCN last.
+    """
     devices = devices if devices is not None else jax.devices()
-    n_total = len(devices) if n_data is None else n_data * n_model
-    n_data = n_total // n_model
+    n_total = (len(devices) // n_dcn // n_model * n_dcn * n_model
+               if n_data is None else n_dcn * n_data * n_model)
+    n_data = n_total // (n_dcn * n_model)
+    if n_dcn > 1:
+        dev = np.asarray(devices[:n_total]).reshape(n_dcn, n_data, n_model)
+        return Mesh(dev, ("dcn", "data", "model"))
     dev = np.asarray(devices[:n_total]).reshape(n_data, n_model)
     return Mesh(dev, ("data", "model"))
 
@@ -58,7 +71,9 @@ def replicated(mesh: Mesh):
 
 
 def batch_sharding(mesh: Mesh):
-    return NamedSharding(mesh, P("data"))
+    """Batch axis sharded over every data-flavored mesh axis (dcn included)."""
+    axes = tuple(a for a in ("dcn", "data") if a in mesh.axis_names)
+    return NamedSharding(mesh, P(axes))
 
 
 def shard_batch(mesh: Mesh, x, y):

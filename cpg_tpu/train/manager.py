@@ -143,11 +143,23 @@ class Manager:
 
     def _train_batches(self, steps_per_epoch):
         """One epoch of training batches: native C++ prefetch ring when
-        enabled, NumPy gather otherwise."""
+        enabled, NumPy gather otherwise (both read through memmaps for
+        larger-than-RAM datasets — data/stream.py). The DevicePrefetcher
+        keeps the next batch's host->device transfer (mesh-sharded when
+        multi-device) in flight while the current step computes."""
+        from ..data.stream import DevicePrefetcher
+
         if self._batcher is not None:
-            return self._batcher.batches(steps_per_epoch)
-        return iterate_batches(self.data["train_x"], self.data["train_y"],
-                               self.batch_size, self.np_rng, train=True)
+            it = self._batcher.batches(steps_per_epoch)
+        else:
+            it = iterate_batches(self.data["train_x"], self.data["train_y"],
+                                 self.batch_size, self.np_rng, train=True)
+        sharding = None
+        if self.mesh is not None:
+            from ..parallel.mesh import batch_sharding
+
+            sharding = batch_sharding(self.mesh)
+        return DevicePrefetcher(it, sharding=sharding)
 
     # -- optimizer state ----------------------------------------------------
     def reset_optimizers(self):
@@ -225,10 +237,7 @@ class Manager:
                         step_i, prune_begin, prune_end, init_sparsity, prune_to)
                     shared, ownership = pruner.gradual_prune(
                         shared, ownership, self.task_id, target, n0)
-                if self.mesh is not None:
-                    from ..parallel.mesh import shard_batch
-
-                    bx, by = shard_batch(self.mesh, bx, by)
+                # bx/by already device-placed (mesh-sharded) by the prefetcher
                 self.rng, sub = jax.random.split(self.rng)
                 (shared, pm, private, bn_state, opt_w_state, opt_pm_state,
                  metrics) = self.train_step(
