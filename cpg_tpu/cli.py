@@ -26,7 +26,31 @@ import jax.numpy as jnp
 
 
 def _experiment_tasks(args):
-    """Resolve an experiment name to (arch, ordered task dict, aug, prep)."""
+    """Resolve an experiment name to (arch, ordered task dict, aug, prep).
+
+    --memmap-dir overrides the task DATA with memory-mapped datasets
+    (data/stream.py: one save_memmap_dataset directory per task, ordered by
+    name) while keeping the experiment's arch/augmentation — the
+    larger-than-RAM production path."""
+    arch, tasks, aug, prep = _experiment_tasks_inner(args)
+    if getattr(args, "memmap_dir", None):
+        import os
+
+        from .data.stream import load_memmap_dataset
+
+        subs = sorted(
+            d for d in os.listdir(args.memmap_dir)
+            if os.path.exists(os.path.join(args.memmap_dir, d, "meta.json")))
+        if not subs:
+            raise SystemExit(f"--memmap-dir {args.memmap_dir}: no datasets")
+        tasks = {d: load_memmap_dataset(os.path.join(args.memmap_dir, d))
+                 for d in subs}
+        if args.num_tasks:
+            tasks = dict(list(tasks.items())[: args.num_tasks])
+    return arch, tasks, aug, prep
+
+
+def _experiment_tasks_inner(args):
     from .data import augment as A
 
     if args.experiment == "cifar100":
@@ -194,6 +218,10 @@ def _add_common(p):
     p.add_argument("--parallel-model", type=int, default=1, metavar="M",
                    help="model-axis size within --parallel (output-channel "
                         "sharded kernels for wide grown networks)")
+    p.add_argument("--memmap-dir", default=None,
+                   help="directory of per-task memmapped datasets "
+                        "(data/stream.save_memmap_dataset layout); overrides "
+                        "the experiment's data for larger-than-RAM training")
     p.add_argument("--native-loader", action="store_true",
                    help="use the C++ prefetch-ring batcher (native/)")
     p.add_argument("--jsonl", default=None,

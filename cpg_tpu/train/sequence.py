@@ -376,12 +376,18 @@ def run_sequence(
         )
         reports.append(rep)
         if seq.checkpoint_dir:
+            # async: the disk write overlaps the next task's pick phase
+            # (save_state snapshots device->host before returning)
             from ..utils.checkpoint import save_state
             save_state(state, os.path.join(
-                seq.checkpoint_dir, f"task{rep.task_id:02d}_{name}"))
+                seq.checkpoint_dir, f"task{rep.task_id:02d}_{name}"),
+                block=False)
         log.info(
             "task %d/%s done: acc=%.4f ratio=%.2f mult=%.2f free=%.3f",
             rep.task_id, name, rep.final_acc, rep.chosen_ratio,
             rep.width_mult, float(free_ratio(state.ownership)),
         )
+    if seq.checkpoint_dir:
+        from ..utils.checkpoint import wait_for_saves
+        wait_for_saves()
     return state, reports

@@ -39,11 +39,40 @@ def _to_tree(state: CPGState):
             "tasks": tasks}
 
 
-def save_state(state: CPGState, path: str) -> str:
-    """Write a full CPG checkpoint at `path` (a directory)."""
+_ASYNC = {"ckptr": None}
+
+
+def _async_checkpointer():
+    if _ASYNC["ckptr"] is None:
+        _ASYNC["ckptr"] = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC["ckptr"]
+
+
+def wait_for_saves() -> None:
+    """Block until every async `save_state(..., block=False)` hit disk."""
+    if _ASYNC["ckptr"] is not None:
+        _ASYNC["ckptr"].wait_until_finished()
+
+
+def save_state(state: CPGState, path: str, block: bool = True) -> str:
+    """Write a full CPG checkpoint at `path` (a directory).
+
+    `block=False` overlaps the disk write with whatever runs next (the next
+    task's pick phase in run_sequence): orbax's async checkpointer copies
+    device arrays to host synchronously inside save() — so later donation/
+    mutation of the live state cannot corrupt the snapshot — and serializes
+    to disk on a background thread. One save in flight at a time; call
+    `wait_for_saves()` (or save again / load) to join it. The reference has
+    no analogue: torch.save blocks the GPU loop for the full write
+    (ref:CPG_*_main*.py save_checkpoint)."""
     path = os.path.abspath(path)
-    ckpt = ocp.PyTreeCheckpointer()
-    ckpt.save(os.path.join(path, "tree"), _to_tree(state), force=True)
+    if block:
+        ckpt = ocp.PyTreeCheckpointer()
+        ckpt.save(os.path.join(path, "tree"), _to_tree(state), force=True)
+    else:
+        c = _async_checkpointer()
+        c.wait_until_finished()
+        c.save(os.path.join(path, "tree"), _to_tree(state), force=True)
     meta = {
         "arch": state.arch,
         "width_mult": state.width_mult,
@@ -61,6 +90,7 @@ def save_state(state: CPGState, path: str) -> str:
 
 
 def load_state(path: str) -> CPGState:
+    wait_for_saves()  # never read past an in-flight async write
     path = os.path.abspath(path)
     with open(os.path.join(path, _META)) as f:
         meta = json.load(f)

@@ -75,7 +75,10 @@ def main():
     # 2. CPG sequence with one impossible goal -> forced growth + audits
     forced = list(tasks)[FORCED_GROWTH_TASK_INDEX]
     goals_forced = dict(goals)
-    goals_forced[forced] = 0.9999  # unreachable: forces 1.0 -> 1.5 -> 2.0
+    goals_forced[forced] = 1.1  # > 1.0 = unreachable BY CONSTRUCTION: the
+    # task walks the full growth ladder 1.0 -> 1.5 -> 2.0 (auditing each
+    # embed) and then accepts at max_width_mult (on_goal_miss='accept').
+    # (0.9999 is NOT unreachable here — saturated synthetic tasks hit 1.0.)
     seq = SequenceConfig(
         finetune_epochs=FINETUNE_EPOCHS, prune_epochs=PRUNE_EPOCHS,
         retrain_epochs=RETRAIN_EPOCHS, prune_ratios=(0.2, 0.4, 0.6, 0.8),

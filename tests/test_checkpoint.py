@@ -70,3 +70,34 @@ def test_restored_state_continues_training(tmp_path):
                  preprocess_fn=normalize01)
     res = m2.train(epochs=6)
     assert res.acc > 0.6, f"restored state failed to train task 2: {res.acc}"
+
+
+def test_async_save_survives_donation(tmp_path):
+    """save_state(block=False) must snapshot device->host BEFORE returning:
+    the live arrays are donated into the very next jitted step in
+    run_sequence, so a lazy reference would read deleted buffers. The loaded
+    checkpoint must equal the state AT SAVE TIME, not after training moved on."""
+    from cpg_tpu.utils.checkpoint import wait_for_saves
+
+    data = synthetic_task(0)
+    state = init_state("tiny_cnn", jax.random.PRNGKey(0))
+    start_task(state, "a", data["num_classes"], jax.random.PRNGKey(1))
+    cfg = TrainConfig(lr=0.05, compute_dtype=jnp.float32)
+    mgr = Manager(state, tiny_cnn, 1, data, cfg, batch_size=32,
+                  lr_schedule="constant", augment_fn=norm_augment,
+                  preprocess_fn=normalize01)
+    mgr.train(epochs=2)
+    snap = {k: np.array(v) for k, v in state.shared.items()}
+
+    p = save_state(state, str(tmp_path / "async_ckpt"), block=False)
+    # immediately donate/overwrite the live buffers by training more
+    mgr.train(epochs=2)
+    wait_for_saves()
+
+    restored = load_state(p)
+    for k, v in snap.items():
+        np.testing.assert_array_equal(np.array(restored.shared[k]), v)
+        # and training really did move the live state on
+    moved = any(not np.array_equal(np.array(state.shared[k]), snap[k])
+                for k in snap)
+    assert moved, "post-save training changed nothing; test is vacuous"

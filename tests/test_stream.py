@@ -85,3 +85,30 @@ def test_native_batcher_reads_through_memmap(mm_dir):
             seen.add(int(idx))
     nb.close()
     assert len(seen) > 32  # shuffled sampling actually moved through the set
+
+
+def test_cli_sequence_from_memmap_dir(tmp_path, monkeypatch):
+    """--memmap-dir: the CLI runs the whole sequence off memmapped task
+    datasets (the larger-than-RAM layout), overriding the experiment data.
+    The arch registry is patched to tiny_cnn — this tests the CLI/stream
+    plumbing, not VGG16 (whose CPU train time belongs to TPU validation)."""
+    import cpg_tpu.models as M
+    from cpg_tpu.cli import main as cli_main
+
+    monkeypatch.setitem(M.REGISTRY, "vgg16_bn_cifar", (tiny_cnn, (16, 16, 3)))
+    for i in range(2):
+        data = synthetic_task(i, hw=16)
+        save_memmap_dataset(str(tmp_path / "ds" / f"{i:02d}_task{i}"),
+                            {**data, "num_classes": data["num_classes"]})
+    rc = cli_main([
+        "sequence", "--experiment", "cifar100",
+        "--memmap-dir", str(tmp_path / "ds"),
+        "--batch-size", "32", "--lr", "0.05", "--dtype", "float32",
+        "--lr-schedule", "constant", "--finetune-epochs", "2",
+        "--prune-epochs", "1", "--retrain-epochs", "1",
+        "--prune-ratios", "0.3", "--checkpoint-dir", str(tmp_path / "ck"),
+    ])
+    assert rc == 0
+    import os
+    assert sorted(os.listdir(tmp_path / "ck")) == [
+        "task01_00_task0", "task02_01_task1"]
