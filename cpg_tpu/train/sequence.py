@@ -199,8 +199,18 @@ def run_task(
     preprocess_fn=None,
     record_path: Optional[str] = None,
     mesh=None,
+    checkpoint_prefix: Optional[str] = None,
+    pick_state: Optional[CPGState] = None,
 ) -> TaskReport:
-    """One full CPG task cycle: pick (train) -> [grow+retry] -> compact."""
+    """One full CPG task cycle: pick (train) -> [grow+retry] -> compact.
+
+    Failure recovery at PHASE granularity (SURVEY §5): with
+    `checkpoint_prefix`, the post-pick state is checkpointed (async) before
+    the compact walk begins; a crash mid-compact costs only the walk, not the
+    pick/growth work. `pick_state` (a restored `<prefix>.pick` checkpoint)
+    skips the pick phase entirely and re-enters at the walk — optimizers are
+    rebuilt, matching the reference's behavior where every `--mode prune`
+    invocation constructs fresh optimizers over the loaded checkpoint."""
     model_fn, _ = get_model(state.arch)
     rng = jax.random.PRNGKey(seq.seed + state.num_tasks + 1)
     pre_task = snapshot(state)
@@ -211,6 +221,19 @@ def run_task(
         loss_fn=data.get("loss_fn"), lr_schedule=seq.lr_schedule,
         native_loader=seq.native_loader, jsonl_path=seq.jsonl_path, mesh=mesh,
     )
+
+    if pick_state is not None:
+        # ---- resume past the pick: adopt the post-pick checkpoint ----------
+        state.__dict__.update(pick_state.__dict__)
+        task_id = state.num_tasks
+        meta = state.tasks[task_id].meta
+        pick_acc, grew = meta.get("pick_acc", float("nan")), meta.get("grew", 0)
+        mgr = Manager(state, model_fn, task_id, data, cfg, **mgr_kw)
+        log.info("task %d (%s): resumed post-pick (acc=%.4f, mult=%.2f) — "
+                 "re-entering the compact walk", task_id, name, pick_acc,
+                 state.width_mult)
+        return _compact(state, name, data, cfg, seq, goal_acc, mgr, mgr_kw,
+                        model_fn, task_id, pick_acc, grew, record_path)
 
     # ---- PICK (train masks + free capacity), growing on goal miss ----------
     while True:
@@ -266,6 +289,19 @@ def run_task(
                          "(max |d|=%.2e, scale %.2f)", tid, maxd, scale)
         log.info("task %s: growing width multiplier -> %.2f", name, new_mult)
 
+    if checkpoint_prefix:
+        # phase-boundary checkpoint: a crash during the compact walk resumes
+        # here instead of redoing pick/growth (async; snapshot taken on call)
+        state.tasks[task_id].meta.update(pick_acc=pick_acc, grew=grew)
+        from ..utils.checkpoint import save_state
+        save_state(state, checkpoint_prefix + ".pick", block=False)
+
+    return _compact(state, name, data, cfg, seq, goal_acc, mgr, mgr_kw,
+                    model_fn, task_id, pick_acc, grew, record_path)
+
+
+def _compact(state, name, data, cfg, seq, goal_acc, mgr, mgr_kw, model_fn,
+             task_id, pick_acc, grew, record_path) -> TaskReport:
     # ---- COMPACT: walk prune ratios, keep the largest meeting the goal -----
     # without an explicit goal, the pick accuracy is the implicit goal
     # (compaction must not cost more than allow_acc_diff — the reference
@@ -279,6 +315,7 @@ def run_task(
                                                       task_id))
     ratio_to_acc: Dict[float, float] = {}
     best_ratio, best_state, best_acc = 0.0, post_pick, pick_acc
+    res = None
     for ratio in seq.prune_ratios:
         if seq.compact_mode == "restart":
             state.__dict__.update(snapshot(post_pick).__dict__)
@@ -312,7 +349,7 @@ def run_task(
         task_id=task_id, name=name, pick_acc=pick_acc, final_acc=best_acc,
         chosen_ratio=best_ratio, ratio_to_acc=ratio_to_acc,
         width_mult=state.width_mult, grew=grew,
-        images_per_sec=res.images_per_sec,
+        images_per_sec=res.images_per_sec if res is not None else 0.0,
     )
 
 
@@ -346,11 +383,12 @@ def run_sequence(
     base = state.num_tasks
     for ti, (name, data) in enumerate(tasks.items()):
         tid_expected = base + ti + 1
+        ck = (os.path.join(seq.checkpoint_dir, f"task{tid_expected:02d}_{name}")
+              if seq.checkpoint_dir else None)
+        pick_state = None
         # ---- resume: skip tasks whose final checkpoint exists --------------
         if seq.checkpoint_dir and seq.resume:
             from ..utils.checkpoint import load_state
-            ck = os.path.join(seq.checkpoint_dir,
-                              f"task{tid_expected:02d}_{name}")
             if os.path.exists(os.path.join(ck, "cpg_meta.json")):
                 restored = load_state(ck)
                 if restored.num_tasks == tid_expected:
@@ -367,12 +405,18 @@ def run_sequence(
                     log.info("task %d/%s: resumed from %s", tid_expected,
                              name, ck)
                     continue
+            # ---- phase-granular resume: pick done, compact interrupted -----
+            if os.path.exists(os.path.join(ck + ".pick", "cpg_meta.json")):
+                restored = load_state(ck + ".pick")
+                if restored.num_tasks == tid_expected:
+                    pick_state = restored
         rec = (os.path.join(record_dir, f"ratio_acc_{name}.json")
                if record_dir else None)
         rep = run_task(
             state, name, data, cfg, seq,
             goal_acc=(goals or {}).get(name), augment_fn=augment_fn,
             preprocess_fn=preprocess_fn, record_path=rec, mesh=mesh,
+            checkpoint_prefix=ck, pick_state=pick_state,
         )
         reports.append(rep)
         if seq.checkpoint_dir:

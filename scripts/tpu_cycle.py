@@ -83,7 +83,9 @@ def main():
         finetune_epochs=FINETUNE_EPOCHS, prune_epochs=PRUNE_EPOCHS,
         retrain_epochs=RETRAIN_EPOCHS, prune_ratios=(0.2, 0.4, 0.6, 0.8),
         batch_size=BATCH, lr=0.02, on_goal_miss="accept",
-        verify_growth=True)
+        verify_growth=True,
+        # crash recovery: per-task + post-pick (phase-granular) checkpoints
+        checkpoint_dir=os.path.abspath("ck_r2_cycle"))
     state, reports = run_sequence(
         "vgg16_bn_cifar", tasks, cfg, seq, goals=goals_forced,
         augment_fn=A.cifar_train_augment,

@@ -66,3 +66,50 @@ def test_goal_triggers_growth():
     )
     assert reports[1].grew >= 1
     assert state.width_mult == 1.5
+
+
+def test_phase_granular_resume(tmp_path, monkeypatch):
+    """Crash-mid-compact recovery: the post-pick checkpoint (taskNN.pick)
+    must let run_sequence re-enter the COMPACT walk without redoing the pick
+    phase (SURVEY §5: resumable at (task, phase) granularity)."""
+    import shutil
+
+    import cpg_tpu.train.sequence as S
+
+    tasks = {"t1": synthetic_task(0)}
+    cfg = TrainConfig(lr=0.05, compute_dtype=jnp.float32)
+    seq = SequenceConfig(
+        finetune_epochs=5, prune_epochs=1, retrain_epochs=1,
+        prune_ratios=(0.3, 0.5), batch_size=32, lr=0.05, prune_freq=5,
+        checkpoint_dir=str(tmp_path / "ck"))
+    state, reports = run_sequence("tiny_cnn", tasks, cfg, seq,
+                                  augment_fn=norm_augment,
+                                  preprocess_fn=normalize01)
+    final = tmp_path / "ck" / "task01_t1"
+    pick = tmp_path / "ck" / "task01_t1.pick"
+    assert final.exists() and pick.exists()
+
+    # simulate a crash AFTER pick, during compact: final checkpoint is gone
+    shutil.rmtree(final)
+
+    epochs_seen = []
+    orig_train = S.Manager.train
+
+    def spy(self, epochs, **kw):
+        epochs_seen.append(epochs)
+        return orig_train(self, epochs, **kw)
+
+    monkeypatch.setattr(S.Manager, "train", spy)
+    state2, reports2 = run_sequence("tiny_cnn", tasks, cfg, seq,
+                                    augment_fn=norm_augment,
+                                    preprocess_fn=normalize01)
+    # pick phase (finetune_epochs=5) must NOT re-run; only compact phases
+    # (prune+retrain = 2 epochs per ratio) may appear
+    assert epochs_seen and all(e == 2 for e in epochs_seen), epochs_seen
+    assert reports2[0].pick_acc == reports[0].pick_acc  # carried via meta
+    assert state2.num_tasks == 1
+    # the resumed compact produces a working task (fresh optimizers are fine)
+    x = normalize01(jnp.asarray(tasks["t1"]["test_x"][:32]))
+    y = tasks["t1"]["test_y"][:32]
+    acc = float((np.argmax(np.array(predict(state2, 1, x)), 1) == y).mean())
+    assert acc > 0.5, acc
