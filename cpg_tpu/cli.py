@@ -45,6 +45,13 @@ def _experiment_tasks(args):
             raise SystemExit(f"--memmap-dir {args.memmap_dir}: no datasets")
         tasks = {d: load_memmap_dataset(os.path.join(args.memmap_dir, d))
                  for d in subs}
+        for t in tasks.values():
+            # callables can't live in meta.json; a string marker reattaches
+            # them (face A-Softmax: save with {"loss": "angle"})
+            if t.get("loss") == "angle":
+                from .train.losses import make_angle_loss
+
+                t["loss_fn"] = make_angle_loss()
         if args.num_tasks:
             tasks = dict(list(tasks.items())[: args.num_tasks])
     return arch, tasks, aug, prep

@@ -42,8 +42,10 @@ def save_memmap_dataset(out_dir: str, data: Dict[str, np.ndarray]) -> None:
         if isinstance(v, np.ndarray):
             np.save(os.path.join(out_dir, f"{k}.npy"), v)
             meta[k] = {"shape": list(v.shape), "dtype": str(v.dtype)}
-        else:
+        elif not callable(v):
             meta[k] = v  # scalars (num_classes, names, ...) go to meta.json
+            # callables (a face task's loss_fn) can't serialize: store the
+            # marker {"loss": "angle"} instead — the CLI reattaches it
     with open(os.path.join(out_dir, _META), "w") as f:
         json.dump(meta, f)
 

@@ -1,0 +1,124 @@
+"""Multi-task serving: batched task-conditioned inference from one state.
+
+The reference's only inference story is `--mode inference --dataset <task>` —
+one task per process invocation, rebuilding the model each time
+(ref:CPG_*_main*.py). A deployed CPG model is ONE backbone serving MANY
+tasks; this module is the TPU-native serving layer over a frozen CPGState:
+
+  * per-task effective weights are computed ONCE at load (the masks are
+    frozen after compaction — binarize/select is not per-request work) and
+    cached on device, in the serving dtype;
+  * one jitted forward per (task, padded-batch-bucket) — requests for the
+    same task batch together; mixed-task batches are grouped by task and
+    dispatched per group (different tasks = different weights, so there is
+    nothing to gain from fusing them into one launch);
+  * padding buckets keep XLA shapes static: a request batch pads up to the
+    next power of two (>= `min_bucket`), so at most log2(max/min) programs
+    exist per task.
+
+Usage:
+    server = TaskServer(state, preprocess_fn=cifar_eval_preprocess)
+    logits = server.predict(task_id, x)                  # one task
+    outs = server.predict_mixed([(tid, x), ...])         # router
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core.state import CPGState
+from .models import framework as fw
+from .models import get_model
+from .ops.masked import effective_params
+
+
+def _next_bucket(n: int, min_bucket: int, max_bucket: int) -> int:
+    b = min_bucket
+    while b < n and b < max_bucket:
+        b *= 2
+    return b
+
+
+class TaskServer:
+    """Frozen-state, multi-task inference server (single host, any backend)."""
+
+    def __init__(self, state: CPGState, preprocess_fn: Optional[Callable] = None,
+                 compute_dtype=jnp.bfloat16, min_bucket: int = 8,
+                 max_bucket: int = 1024):
+        self.state = state
+        self.preprocess_fn = preprocess_fn
+        self.compute_dtype = compute_dtype
+        self.min_bucket = min_bucket
+        self.max_bucket = max_bucket
+        self.model_fn, self.in_shape = get_model(state.arch)
+        # Effective weights per task, selected once and device-cached in the
+        # serving dtype: ~half the weight bytes per request vs re-selecting
+        # (and zero select/binarize work on the request path).
+        self._eff: Dict[int, Dict] = {}
+        self._fns: Dict[int, Callable] = {}
+        for tid, task in state.tasks.items():
+            eff = effective_params(
+                state.shared, state.ownership, task.piggymask, tid,
+                state.threshold, compute_dtype=compute_dtype,
+                mask_mode=getattr(state, "mask_mode", "binary"))
+            self._eff[tid] = jax.tree.map(jnp.asarray, eff)
+            self._fns[tid] = self._make_fn(tid)
+
+    def _make_fn(self, tid: int):
+        task = self.state.tasks[tid]
+        mkw = task.meta.get("model_kwargs") or {}
+        nc, mult = task.num_classes, self.state.width_mult
+        prep, cdt = self.preprocess_fn, self.compute_dtype
+
+        @jax.jit
+        def fn(eff, private, bn_state, x):
+            xx = prep(x) if prep is not None else x
+            logits, _ = fw.apply(self.model_fn, eff, private, bn_state, xx,
+                                 train=False, compute_dtype=cdt,
+                                 num_classes=nc, mult=mult, **mkw)
+            return logits[0] if isinstance(logits, tuple) else logits
+
+        return fn
+
+    def predict(self, task_id: int, x) -> np.ndarray:
+        """Logits for a request batch under one task's view (host in/out)."""
+        task = self.state.tasks[task_id]
+        x = np.asarray(x)
+        n = len(x)
+        b = _next_bucket(n, self.min_bucket, self.max_bucket)
+        out: List[np.ndarray] = []
+        for s in range(0, n, b):
+            chunk = x[s:s + b]
+            pad = b - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+            y = self._fns[task_id](self._eff[task_id], task.private,
+                                   task.bn_state, jnp.asarray(chunk))
+            out.append(np.asarray(y)[: len(x[s:s + b])])
+        return np.concatenate(out)
+
+    def predict_mixed(self, requests: Sequence[Tuple[int, np.ndarray]]
+                      ) -> List[np.ndarray]:
+        """Route a mixed-task request list: group by task, batch each group,
+        scatter results back in request order."""
+        by_task: Dict[int, List[int]] = {}
+        for i, (tid, _) in enumerate(requests):
+            by_task.setdefault(tid, []).append(i)
+        results: List[Optional[np.ndarray]] = [None] * len(requests)
+        for tid, idxs in by_task.items():
+            xs = np.stack([np.asarray(requests[i][1]) for i in idxs])
+            ys = self.predict(tid, xs)
+            for j, i in enumerate(idxs):
+                results[i] = ys[j]
+        return results  # type: ignore[return-value]
+
+    def warmup(self, batch: Optional[int] = None) -> None:
+        """Compile every task's forward at one bucket size before traffic."""
+        b = batch or self.min_bucket
+        x = np.zeros((b, *self.in_shape), np.uint8)
+        for tid in self.state.tasks:
+            self.predict(tid, x)

@@ -1,0 +1,72 @@
+"""TaskServer: multi-task batched serving over a frozen state must agree
+exactly with the reference-semantics predict() path (inference.py) for every
+task, bucket size, and mixed-task routing order."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cpg_tpu.inference import predict
+from cpg_tpu.serve import TaskServer, _next_bucket
+from cpg_tpu.train.manager import Manager
+from cpg_tpu.train.sequence import init_state, start_task
+from cpg_tpu.train.step import TrainConfig
+
+from .helpers import norm_augment, normalize01, synthetic_task, tiny_cnn
+
+
+def _two_task_state():
+    d1, d2 = synthetic_task(0), synthetic_task(7, num_classes=3)
+    state = init_state("tiny_cnn", jax.random.PRNGKey(0))
+    cfg = TrainConfig(lr=0.05, compute_dtype=jnp.float32)
+    for tid, d in ((1, d1), (2, d2)):
+        start_task(state, f"t{tid}", d["num_classes"], jax.random.PRNGKey(tid))
+        Manager(state, tiny_cnn, tid, d, cfg, batch_size=32,
+                lr_schedule="constant", augment_fn=norm_augment,
+                preprocess_fn=normalize01).train(epochs=2)
+    return state, d1, d2
+
+
+def test_bucket_sizes():
+    assert _next_bucket(1, 8, 64) == 8
+    assert _next_bucket(8, 8, 64) == 8
+    assert _next_bucket(9, 8, 64) == 16
+    assert _next_bucket(500, 8, 64) == 64  # capped; predict() then chunks
+
+
+def test_server_matches_reference_predict():
+    state, d1, d2 = _two_task_state()
+    srv = TaskServer(state, preprocess_fn=normalize01,
+                     compute_dtype=jnp.float32, min_bucket=8)
+    for tid, d in ((1, d1), (2, d2)):
+        for n in (3, 8, 13):  # padded, exact, multi-bucket
+            x = d["test_x"][:n]
+            got = srv.predict(tid, x)
+            want = np.asarray(predict(state, tid,
+                                      normalize01(jnp.asarray(x)),
+                                      compute_dtype=jnp.float32))
+            assert got.shape == (n, d["num_classes"])
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_mixed_task_routing_preserves_order():
+    state, d1, d2 = _two_task_state()
+    srv = TaskServer(state, preprocess_fn=normalize01,
+                     compute_dtype=jnp.float32, min_bucket=8)
+    reqs = [(1, d1["test_x"][0]), (2, d2["test_x"][0]),
+            (1, d1["test_x"][1]), (2, d2["test_x"][1]),
+            (2, d2["test_x"][2])]
+    outs = srv.predict_mixed(reqs)
+    assert len(outs) == 5
+    for i, (tid, x) in enumerate(reqs):
+        d = d1 if tid == 1 else d2
+        assert outs[i].shape == (d["num_classes"],)
+        want = srv.predict(tid, x[None])[0]
+        np.testing.assert_allclose(outs[i], want, rtol=1e-6)
+
+
+def test_warmup_compiles_all_tasks():
+    state, *_ = _two_task_state()
+    srv = TaskServer(state, preprocess_fn=normalize01,
+                     compute_dtype=jnp.float32, min_bucket=8)
+    srv.warmup()  # no raise = every task's view forwards end-to-end
