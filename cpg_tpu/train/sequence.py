@@ -19,6 +19,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import grow as grow_mod
 from ..core.ownership import assign_free_to_task, init_ownership, free_ratio
@@ -33,8 +34,14 @@ log = logging.getLogger("cpg_tpu")
 
 
 def _copy_tree(tree):
-    """Device copy — snapshots must not alias buffers that jit later donates."""
-    return jax.tree.map(lambda a: a.copy() if hasattr(a, "copy") else a, tree)
+    """HOST copy — snapshots must not alias buffers that jit later donates,
+    and must not live in HBM: by late tasks the state carries O(num_tasks)
+    full-weight-shape piggymasks, and holding the pre-task/post-pick/best
+    rollback copies on device OOMed a 16GB chip at width multiplier 2.0
+    (measured: r2 cycle died at task 14). Host RAM keeps them; a restore
+    re-transfers lazily on first use (the next jit call)."""
+    return jax.tree.map(
+        lambda a: np.asarray(a) if hasattr(a, "shape") else a, tree)
 
 
 def snapshot(state: CPGState) -> CPGState:
@@ -339,6 +346,7 @@ def _compact(state, name, data, cfg, seq, goal_acc, mgr, mgr_kw, model_fn,
     state.tasks[task_id].meta.update(
         ratio_to_acc={str(k): v for k, v in ratio_to_acc.items()},
         chosen_ratio=best_ratio, pick_acc=pick_acc, final_acc=best_acc,
+        grew=grew,
     )
     if record_path:
         os.makedirs(os.path.dirname(record_path) or ".", exist_ok=True)
@@ -389,8 +397,22 @@ def run_sequence(
         # ---- resume: skip tasks whose final checkpoint exists --------------
         if seq.checkpoint_dir and seq.resume:
             from ..utils.checkpoint import load_state
-            if os.path.exists(os.path.join(ck, "cpg_meta.json")):
-                restored = load_state(ck)
+
+            def _try_load(path):
+                """A checkpoint that can't load (e.g. a crash landed mid-
+                write) must not kill recovery — treat it as absent and redo
+                that phase."""
+                if not os.path.exists(os.path.join(path, "cpg_meta.json")):
+                    return None
+                try:
+                    return load_state(path)
+                except Exception as e:  # corrupt/partial orbax tree
+                    log.warning("checkpoint %s unreadable (%s: %s) — redoing "
+                                "that phase", path, type(e).__name__, e)
+                    return None
+
+            restored = _try_load(ck)
+            if restored is not None:
                 if restored.num_tasks == tid_expected:
                     state = restored
                     m = restored.tasks[tid_expected].meta
@@ -400,16 +422,16 @@ def run_sequence(
                         final_acc=m.get("final_acc", float("nan")),
                         chosen_ratio=m.get("chosen_ratio", 0.0),
                         ratio_to_acc=m.get("ratio_to_acc", {}),
-                        width_mult=restored.width_mult, grew=0,
+                        width_mult=restored.width_mult,
+                        grew=m.get("grew", 0),
                         images_per_sec=0.0))
                     log.info("task %d/%s: resumed from %s", tid_expected,
                              name, ck)
                     continue
             # ---- phase-granular resume: pick done, compact interrupted -----
-            if os.path.exists(os.path.join(ck + ".pick", "cpg_meta.json")):
-                restored = load_state(ck + ".pick")
-                if restored.num_tasks == tid_expected:
-                    pick_state = restored
+            restored = _try_load(ck + ".pick")
+            if restored is not None and restored.num_tasks == tid_expected:
+                pick_state = restored
         rec = (os.path.join(record_dir, f"ratio_acc_{name}.json")
                if record_dir else None)
         rep = run_task(

@@ -18,7 +18,6 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from cpg_tpu.train.sequence import init_state, start_task
 from cpg_tpu.train.step import TrainConfig, build_train_step

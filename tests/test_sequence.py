@@ -113,3 +113,27 @@ def test_phase_granular_resume(tmp_path, monkeypatch):
     y = tasks["t1"]["test_y"][:32]
     acc = float((np.argmax(np.array(predict(state2, 1, x)), 1) == y).mean())
     assert acc > 0.5, acc
+
+
+def test_resume_survives_corrupt_checkpoint(tmp_path):
+    """A crash can land mid-checkpoint-write; resume must treat an unreadable
+    checkpoint as absent and redo that phase, never die on it."""
+    import shutil
+
+    tasks = {"t1": synthetic_task(0)}
+    cfg = TrainConfig(lr=0.05, compute_dtype=jnp.float32)
+    seq = SequenceConfig(finetune_epochs=3, prune_epochs=1, retrain_epochs=1,
+                         prune_ratios=(0.3,), batch_size=32, lr=0.05,
+                         prune_freq=5, checkpoint_dir=str(tmp_path / "ck"))
+    run_sequence("tiny_cnn", tasks, cfg, seq, augment_fn=norm_augment,
+                 preprocess_fn=normalize01)
+    final = tmp_path / "ck" / "task01_t1"
+    pick = tmp_path / "ck" / "task01_t1.pick"
+    # corrupt BOTH: meta survives, orbax tree gutted (mid-write crash shape)
+    for d in (final, pick):
+        shutil.rmtree(d / "tree")
+        (d / "tree").mkdir()
+    state2, reports2 = run_sequence("tiny_cnn", tasks, cfg, seq,
+                                    augment_fn=norm_augment,
+                                    preprocess_fn=normalize01)
+    assert state2.num_tasks == 1 and reports2[0].final_acc > 0.5
