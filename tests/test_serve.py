@@ -70,3 +70,27 @@ def test_warmup_compiles_all_tasks():
     srv = TaskServer(state, preprocess_fn=normalize01,
                      compute_dtype=jnp.float32, min_bucket=8)
     srv.warmup()  # no raise = every task's view forwards end-to-end
+
+
+def test_int8_quantized_serving_accuracy():
+    """PTQ int8 serving: per-output-channel weight scales + dynamic
+    activation scales must preserve task accuracy (trained tiny tasks) and
+    track the float logits closely."""
+    state, d1, d2 = _two_task_state()
+    f32 = TaskServer(state, preprocess_fn=normalize01,
+                     compute_dtype=jnp.float32, min_bucket=8)
+    q8 = TaskServer(state, preprocess_fn=normalize01,
+                    compute_dtype=jnp.float32, min_bucket=8, quantize="int8")
+    # weights really are int8 on the serving path
+    for w in q8._eff[1].values():
+        assert w.dtype == jnp.int8
+    for tid, d in ((1, d1), (2, d2)):
+        x, y = d["test_x"][:64], d["test_y"][:64]
+        lf = f32.predict(tid, x)
+        lq = q8.predict(tid, x)
+        acc_f = (lf.argmax(1) == y).mean()
+        acc_q = (lq.argmax(1) == y).mean()
+        assert acc_q >= acc_f - 0.05, (acc_f, acc_q)
+        # logit agreement: top-1 match rate high even where logits drift
+        agree = (lf.argmax(1) == lq.argmax(1)).mean()
+        assert agree >= 0.9, agree

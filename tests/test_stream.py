@@ -110,5 +110,6 @@ def test_cli_sequence_from_memmap_dir(tmp_path, monkeypatch):
     ])
     assert rc == 0
     import os
-    assert sorted(os.listdir(tmp_path / "ck")) == [
-        "task01_00_task0", "task02_01_task1"]
+    finals = sorted(d for d in os.listdir(tmp_path / "ck")
+                    if not d.endswith(".pick"))
+    assert finals == ["task01_00_task0", "task02_01_task1"]
