@@ -254,6 +254,11 @@ def build_parser():
     pi.add_argument("--synthetic-test-per-class", type=int, default=20)
     pi.add_argument("--max-classes", type=int, default=None)
     sub.add_parser("bench")
+    ps = sub.add_parser("stats",
+                        help="ownership/capacity report for a checkpoint")
+    ps.add_argument("--checkpoint", required=True)
+    ps.add_argument("--per-layer", action="store_true",
+                    help="include the per-layer ownership breakdown")
     return parser
 
 
@@ -270,6 +275,46 @@ def main(argv=None):
         import bench
 
         bench.main()
+        return 0
+
+    if args.cmd == "stats":
+        # capacity/ownership report — the reference logs these per run
+        # (SparsePruner.calculate_sparsity / curr_task_ratio etc.,
+        # ref:pruner.py); here they're a first-class introspection command
+        import numpy as np
+
+        from .utils.checkpoint import load_state
+
+        state = load_state(args.checkpoint)
+        own = {k: np.asarray(v) for k, v in state.ownership.items()}
+        total = sum(v.size for v in own.values())
+        out = {
+            "arch": state.arch,
+            "width_mult": state.width_mult,
+            "num_tasks": state.num_tasks,
+            "total_weights": int(total),
+            "free_ratio": float(sum((v == 0).sum() for v in own.values())
+                                / total),
+            "tasks": {},
+        }
+        for tid, t in sorted(state.tasks.items()):
+            owned = int(sum((v == tid).sum() for v in own.values()))
+            out["tasks"][str(tid)] = {
+                "name": t.name, "num_classes": t.num_classes,
+                "owned_ratio": owned / total,
+                "final_acc": t.meta.get("final_acc"),
+                "chosen_ratio": t.meta.get("chosen_ratio"),
+                "grew": t.meta.get("grew", 0),
+            }
+        if args.per_layer:
+            out["layers"] = {
+                k: {"shape": list(v.shape),
+                    "free": float((v == 0).mean()),
+                    **{f"task{t}": float((v == t).mean())
+                       for t in sorted(state.tasks)}}
+                for k, v in own.items()
+            }
+        print(json.dumps(out, indent=1))
         return 0
 
     if args.cmd == "inference":
