@@ -148,3 +148,81 @@ class TaskServer:
         x = np.zeros((b, *self.in_shape), np.uint8)
         for tid in self.state.tasks:
             self.predict(tid, x)
+
+    # -- deployment artifact -------------------------------------------------
+    def export(self, path: str) -> str:
+        """Write a standalone SERVING artifact: per-task effective weights
+        (int8 + scales when quantized) + private/BN collections + metadata.
+        No piggymasks, no ownership, no optimizer state — the deployable
+        subset. A 20-task mult-2.0 training checkpoint is GBs; the int8
+        serving artifact is ~60MB/task. Load with `TaskServer.load(path)`
+        (no CPGState / training stack needed)."""
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        meta = {"arch": self.state.arch, "width_mult": self.state.width_mult,
+                "quantize": self.quantize,
+                "compute_dtype": str(np.dtype(
+                    jnp.zeros((), self.compute_dtype).dtype)),
+                "tasks": {}}
+        for tid, task in self.state.tasks.items():
+            arrs = {f"eff/{k}": np.asarray(v)
+                    for k, v in self._eff[tid].items()}
+            if self._scales[tid] is not None:
+                arrs.update({f"scale/{k}": np.asarray(v)
+                             for k, v in self._scales[tid].items()})
+            arrs.update({f"private/{k}": np.asarray(v)
+                         for k, v in task.private.items()})
+            arrs.update({f"bn/{k}": np.asarray(v)
+                         for k, v in task.bn_state.items()})
+            np.savez(os.path.join(path, f"task{tid:02d}.npz"), **arrs)
+            meta["tasks"][str(tid)] = {
+                "name": task.name, "num_classes": task.num_classes,
+                "model_kwargs": task.meta.get("model_kwargs") or {},
+            }
+        with open(os.path.join(path, "serving_meta.json"), "w") as f:
+            json.dump(meta, f, indent=1)
+        return path
+
+    @classmethod
+    def load(cls, path: str, preprocess_fn: Optional[Callable] = None,
+             min_bucket: int = 8, max_bucket: int = 1024) -> "TaskServer":
+        """Reconstruct a server from an `export()` artifact (no training
+        state required — builds a minimal frozen CPGState shell)."""
+        import json
+        import os
+
+        from .core.state import CPGState, TaskEntry
+
+        with open(os.path.join(path, "serving_meta.json")) as f:
+            meta = json.load(f)
+        srv = cls.__new__(cls)
+        srv.preprocess_fn = preprocess_fn
+        srv.compute_dtype = {"bfloat16": jnp.bfloat16,
+                             "float32": jnp.float32,
+                             "float16": jnp.float16}[meta["compute_dtype"]]
+        srv.min_bucket, srv.max_bucket = min_bucket, max_bucket
+        srv.quantize = meta["quantize"]
+        srv.model_fn, srv.in_shape = get_model(meta["arch"])
+        tasks = {}
+        srv._eff, srv._scales, srv._fns = {}, {}, {}
+        for tid_s, tm in meta["tasks"].items():
+            tid = int(tid_s)
+            z = np.load(os.path.join(path, f"task{tid:02d}.npz"))
+            pick = lambda pre: {k[len(pre):]: jnp.asarray(z[k])
+                                for k in z.files if k.startswith(pre)}
+            srv._eff[tid] = pick("eff/")
+            sc = pick("scale/")
+            srv._scales[tid] = sc or None
+            tasks[tid] = TaskEntry(
+                name=tm["name"], num_classes=tm["num_classes"],
+                piggymask=None, private=pick("private/"),
+                bn_state=pick("bn/"),
+                meta={"model_kwargs": tm["model_kwargs"] or None})
+        srv.state = CPGState(
+            arch=meta["arch"], width_mult=meta["width_mult"], shared={},
+            ownership={}, tasks=tasks)
+        for tid in tasks:
+            srv._fns[tid] = srv._make_fn(tid)
+        return srv

@@ -94,3 +94,22 @@ def test_int8_quantized_serving_accuracy():
         # logit agreement: top-1 match rate high even where logits drift
         agree = (lf.argmax(1) == lq.argmax(1)).mean()
         assert agree >= 0.9, agree
+
+
+def test_export_load_serving_artifact(tmp_path):
+    """The deployment artifact round-trip: export from a live server, load
+    WITHOUT the training state, get byte-identical predictions (both float
+    and int8-quantized servers)."""
+    state, d1, d2 = _two_task_state()
+    for quant in (None, "int8"):
+        srv = TaskServer(state, preprocess_fn=normalize01,
+                         compute_dtype=jnp.float32, min_bucket=8,
+                         quantize=quant)
+        p = srv.export(str(tmp_path / f"art_{quant}"))
+        srv2 = TaskServer.load(p, preprocess_fn=normalize01, min_bucket=8)
+        assert srv2.quantize == quant
+        assert srv2.state.shared == {} and srv2.state.ownership == {}
+        for tid, d in ((1, d1), (2, d2)):
+            a = srv.predict(tid, d["test_x"][:16])
+            b = srv2.predict(tid, d["test_x"][:16])
+            np.testing.assert_array_equal(a, b)
