@@ -36,6 +36,23 @@ from .models import get_model
 from .ops.masked import effective_params
 
 
+@jax.jit
+def _quantize_tree(eff):
+    """Per-output-channel symmetric int8 of a whole effective-params tree in
+    ONE jitted program: per-op eager dispatch costs ~1ms each on relayed
+    backends, and a 20-task x 53-kernel load would pay thousands of them."""
+    def one(w):
+        wf = jnp.asarray(w, jnp.float32)
+        red = tuple(range(wf.ndim - 1))
+        sc = jnp.maximum(jnp.max(jnp.abs(wf), axis=red), 1e-8) / 127.0
+        q = jnp.clip(jnp.round(wf / sc), -127, 127).astype(jnp.int8)
+        return q, sc
+
+    out = {k: one(w) for k, w in eff.items()}
+    return ({k: v[0] for k, v in out.items()},
+            {k: v[1] for k, v in out.items()})
+
+
 def _next_bucket(n: int, min_bucket: int, max_bucket: int) -> int:
     b = min_bucket
     while b < n and b < max_bucket:
@@ -70,23 +87,18 @@ class TaskServer:
         self._eff: Dict[int, Dict] = {}
         self._scales: Dict[int, Dict] = {}
         self._fns: Dict[int, Callable] = {}
+        # one jitted selection program reused across tasks (task_id traced);
+        # the eager per-kernel select would pay ~1ms relay dispatch per op
+        import functools
+
+        select = jax.jit(functools.partial(
+            effective_params, threshold=state.threshold,
+            compute_dtype=jnp.float32 if quantize else compute_dtype,
+            mask_mode=getattr(state, "mask_mode", "binary")))
         for tid, task in state.tasks.items():
-            eff = effective_params(
-                state.shared, state.ownership, task.piggymask, tid,
-                state.threshold,
-                compute_dtype=jnp.float32 if quantize else compute_dtype,
-                mask_mode=getattr(state, "mask_mode", "binary"))
+            eff = select(state.shared, state.ownership, task.piggymask, tid)
             if quantize:
-                q, s = {}, {}
-                for key, w in eff.items():
-                    wf = jnp.asarray(w, jnp.float32)
-                    # per-output-channel scale (last axis = out features)
-                    red = tuple(range(wf.ndim - 1))
-                    sc = jnp.maximum(jnp.max(jnp.abs(wf), axis=red), 1e-8) / 127.0
-                    q[key] = jnp.clip(jnp.round(wf / sc), -127, 127
-                                      ).astype(jnp.int8)
-                    s[key] = sc
-                self._eff[tid], self._scales[tid] = q, s
+                self._eff[tid], self._scales[tid] = _quantize_tree(eff)
             else:
                 self._eff[tid] = jax.tree.map(jnp.asarray, eff)
                 self._scales[tid] = None
