@@ -113,3 +113,36 @@ def test_export_load_serving_artifact(tmp_path):
             a = srv.predict(tid, d["test_x"][:16])
             b = srv2.predict(tid, d["test_x"][:16])
             np.testing.assert_array_equal(a, b)
+
+
+def test_stats_cli(tmp_path):
+    """`cpg_tpu stats` reports ownership/capacity from any checkpoint."""
+    import contextlib
+    import io
+    import json
+
+    from cpg_tpu.cli import main as cli_main
+    from cpg_tpu.utils.checkpoint import save_state
+
+    state, *_ = _two_task_state()
+    p = save_state(state, str(tmp_path / "ck"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main(["stats", "--checkpoint", p, "--per-layer"])
+    assert rc == 0
+    rec = json.loads(buf.getvalue())
+    assert rec["num_tasks"] == 2 and rec["arch"] == "tiny_cnn"
+    owned = sum(t["owned_ratio"] for t in rec["tasks"].values())
+    assert abs(owned + rec["free_ratio"] - 1.0) < 1e-6
+    for layer in rec["layers"].values():
+        assert abs(layer["free"] + layer["task1"] + layer["task2"] - 1.0) < 1e-6
+
+
+def test_distributed_initialize_single_host_noop():
+    """initialize() must degrade gracefully with no coordinator configured."""
+    import jax
+
+    from cpg_tpu.parallel.distributed import initialize
+
+    initialize()  # no raise
+    assert jax.process_count() >= 1
