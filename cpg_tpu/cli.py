@@ -259,6 +259,13 @@ def build_parser():
     ps.add_argument("--checkpoint", required=True)
     ps.add_argument("--per-layer", action="store_true",
                     help="include the per-layer ownership breakdown")
+    pe = sub.add_parser("export",
+                        help="write a standalone serving artifact (see "
+                             "cpg_tpu.serve.TaskServer.export)")
+    pe.add_argument("--checkpoint", required=True)
+    pe.add_argument("--out", required=True)
+    pe.add_argument("--int8", action="store_true",
+                    help="post-training-quantize the effective weights")
     return parser
 
 
@@ -275,6 +282,17 @@ def main(argv=None):
         import bench
 
         bench.main()
+        return 0
+
+    if args.cmd == "export":
+        from .serve import TaskServer
+        from .utils.checkpoint import load_state
+
+        state = load_state(args.checkpoint)
+        srv = TaskServer(state, quantize="int8" if args.int8 else None)
+        p = srv.export(args.out)
+        print(json.dumps({"artifact": p, "tasks": state.num_tasks,
+                          "quantize": srv.quantize}))
         return 0
 
     if args.cmd == "stats":

@@ -146,3 +146,26 @@ def test_distributed_initialize_single_host_noop():
 
     initialize()  # no raise
     assert jax.process_count() >= 1
+
+
+def test_export_cli(tmp_path):
+    """`cpg_tpu export`: training checkpoint -> serving artifact -> served."""
+    import contextlib
+    import io
+    import json
+
+    from cpg_tpu.cli import main as cli_main
+    from cpg_tpu.utils.checkpoint import save_state
+
+    state, d1, _ = _two_task_state()
+    ck = save_state(state, str(tmp_path / "ck"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main(["export", "--checkpoint", ck,
+                       "--out", str(tmp_path / "art"), "--int8"])
+    assert rc == 0
+    rec = json.loads(buf.getvalue())
+    assert rec["tasks"] == 2 and rec["quantize"] == "int8"
+    srv = TaskServer.load(rec["artifact"], preprocess_fn=normalize01)
+    y = srv.predict(1, d1["test_x"][:8])
+    assert y.shape == (8, d1["num_classes"])
