@@ -13,10 +13,14 @@ materialize-then-compute path, for BOTH the all-conv VGG16 step and a
 SphereNet-20 step (whose fc5 is the big sharable dense the fused masked
 matmul targets).
 
-vs_baseline: the reference has no number to beat; REF_GPU_IPS_ESTIMATE below
-is a documented ESTIMATE of the reference's eager-PyTorch pipeline on a
-V100-class GPU. Treat the ratio as indicative until the reference is
-runnable somewhere.
+vs_baseline: the reference publishes NO throughput numbers (BASELINE.md), so
+the scoreboard is distance to the hardware roofline, not a made-up GPU
+multiplier (VERDICT r2 weak #3 retired the old invented 1500 img/s
+estimate). vs_baseline = floor_ms / step_ms where floor_ms is the
+HBM-bandwidth floor for this exact op graph: XLA's compiled
+cost_analysis()["bytes accessed"] divided by the chip's peak HBM bandwidth.
+1.0 = speed of light for this program (the step is HBM-bound, not MXU-bound
+— RESULTS.md roofline); higher is better.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -36,7 +40,7 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 
-REF_GPU_IPS_ESTIMATE = 1500.0  # images/sec, eager torch masked VGG16 (estimate)
+PEAK_HBM_GBPS = 819.0  # v5e HBM bandwidth (public chip spec)
 
 BATCH = 1024
 WARMUP = 10
@@ -74,6 +78,17 @@ def _time_step(arch, cfg, batch, warmup, iters, num_classes=5,
     priv, bn = task.private, task.bn_state
     own = state.ownership
 
+    # compiled-program byte traffic for the roofline floor (persistent
+    # compile cache makes the execution path's compile a cache hit)
+    bytes_accessed = None
+    try:
+        ca = step.lower(shared, pm, priv, bn, ows, opms, own, 2, x, y,
+                        rng, 0).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        bytes_accessed = float(ca.get("bytes accessed", 0.0)) or None
+    except Exception:
+        pass  # cost model unavailable on this backend: report absolute only
+
     def run(n):
         nonlocal shared, pm, priv, bn, ows, opms, rng
         m = None
@@ -87,7 +102,7 @@ def _time_step(arch, cfg, batch, warmup, iters, num_classes=5,
     t0 = time.perf_counter()
     run(iters)
     dt = time.perf_counter() - t0
-    return 1e3 * dt / iters
+    return 1e3 * dt / iters, bytes_accessed
 
 
 def main():
@@ -99,15 +114,27 @@ def main():
     # headline: default-path masked VGG16-BN step; the step is HBM-bound
     # (see RESULTS.md roofline), so a larger batch amortizes fixed passes —
     # measure both and report the better img/s
-    vgg_ms = _time_step("vgg16_bn_cifar", cfg, BATCH, WARMUP, ITERS,
-                        augment_fn=cifar_train_augment)
-    ms_by_batch = {BATCH: vgg_ms}
-    for b, w, it in ((4096, 5, 10), (8192, 4, 8)):
-        ms_by_batch[b] = _time_step("vgg16_bn_cifar", cfg, b, w, it,
-                                    augment_fn=cifar_train_augment)
+    ms_by_batch, bytes_by_batch = {}, {}
+    for b, w, it in ((BATCH, WARMUP, ITERS), (4096, 5, 10), (8192, 4, 8)):
+        ms_by_batch[b], bytes_by_batch[b] = _time_step(
+            "vgg16_bn_cifar", cfg, b, w, it, augment_fn=cifar_train_augment)
     cands = {b: b * 1e3 / ms for b, ms in ms_by_batch.items()}
     best_batch = max(cands, key=cands.get)
     ips = cands[best_batch]
+
+    # roofline: HBM-bandwidth floor of the best batch's compiled program
+    # (1.0 = this op graph cannot go faster on this chip without cutting
+    # bytes). The honest scoreboard: the reference publishes no throughput.
+    roofline = {}
+    vs_baseline = None
+    if bytes_by_batch.get(best_batch):
+        gb = bytes_by_batch[best_batch] / 1e9
+        floor_ms = gb / PEAK_HBM_GBPS * 1e3
+        vs_baseline = floor_ms / ms_by_batch[best_batch]
+        roofline = {"bytes_per_step_gb": round(gb, 2),
+                    "hbm_floor_ms": round(floor_ms, 2),
+                    "peak_hbm_gbps": PEAK_HBM_GBPS,
+                    "fraction_of_floor": round(vs_baseline, 3)}
 
     # ablation: fused Pallas sharable layers vs default (smaller iter counts;
     # compile cache makes re-runs cheap)
@@ -116,7 +143,7 @@ def main():
         abl["vgg_pallas_conv_ms"] = round(_time_step(
             "vgg16_bn_cifar",
             dataclasses.replace(cfg, use_pallas=True, use_pallas_conv=True),
-            BATCH, 5, 15, augment_fn=cifar_train_augment), 3)
+            BATCH, 5, 15, augment_fn=cifar_train_augment)[0], 3)
     except Exception as e:  # pragma: no cover
         abl["vgg_pallas_conv_ms"] = f"failed: {type(e).__name__}: {e}"
     sphere_batch = 256
@@ -124,12 +151,12 @@ def main():
         abl["sphere_default_ms"] = round(_time_step(
             "spherenet20", dataclasses.replace(cfg, grad_clip_norm=5.0),
             sphere_batch, 5, 15, num_classes=64,
-            augment_fn=face_train_augment), 3)
+            augment_fn=face_train_augment)[0], 3)
         abl["sphere_pallas_ms"] = round(_time_step(
             "spherenet20",
             dataclasses.replace(cfg, grad_clip_norm=5.0, use_pallas=True),
             sphere_batch, 5, 15, num_classes=64,
-            augment_fn=face_train_augment), 3)
+            augment_fn=face_train_augment)[0], 3)
         abl["sphere_batch"] = sphere_batch
     except Exception as e:  # pragma: no cover
         abl["sphere_default_ms"] = f"failed: {type(e).__name__}: {e}"
@@ -138,7 +165,7 @@ def main():
         "metric": "images_per_sec_per_chip_masked_vgg16_train",
         "value": round(ips, 1),
         "unit": "images/sec/chip",
-        "vs_baseline": round(ips / REF_GPU_IPS_ESTIMATE, 3),
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
         "detail": {
             "batch": best_batch, "iters": ITERS,
             "step_ms": round(ms_by_batch[best_batch], 3),
@@ -147,8 +174,11 @@ def main():
             "device": str(jax.devices()[0]),
             "compute_dtype": "bfloat16",
             "ablation": abl,
-            "baseline_note": "vs ESTIMATED eager-torch V100 masked VGG16 "
-                             "(reference publishes no throughput)",
+            "roofline": roofline,
+            "baseline_note": "vs_baseline = fraction of the HBM-bandwidth "
+                             "roofline for this compiled step (1.0 = speed "
+                             "of light); the reference publishes no "
+                             "throughput numbers (BASELINE.md)",
         },
     }))
 

@@ -86,6 +86,15 @@ class DevicePrefetcher:
     def _put(self, xy):
         x, y = xy
         if self._sharding is not None:
+            if jax.process_count() > 1:
+                # multi-process mesh: x/y are THIS process's rows of the
+                # global batch; assemble the global sharded array from the
+                # per-process shards (a plain device_put would mis-read the
+                # local rows as the whole global batch)
+                return (jax.make_array_from_process_local_data(
+                            self._sharding, np.asarray(x)),
+                        jax.make_array_from_process_local_data(
+                            self._sharding, np.asarray(y)))
             return (jax.device_put(x, self._sharding),
                     jax.device_put(y, self._sharding))
         return jax.device_put(x), jax.device_put(y)

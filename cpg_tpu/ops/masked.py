@@ -46,10 +46,16 @@ def effective_kernel(
 ) -> jax.Array:
     """Per-layer effective weight for a task-`task_id` forward pass.
 
-    mask_mode 'binary' (default, ref Binarizer) or 'ternary' (ref Ternarizer:
-    prior weights can also be picked with flipped sign)."""
+    mask_mode 'binary' (default, ref Binarizer), 'ternary' (ref Ternarizer:
+    prior weights can also be picked with flipped sign), or 'packnet'
+    (ref:packnet_cifar100_main.py: NO piggyback masks exist — every prior
+    task's surviving weight is reused unmasked and frozen, so no per-task
+    mask tensors are ever materialized)."""
     tid = jnp.asarray(task_id, own.dtype)
     owned_now = own == tid
+    if mask_mode == "packnet":
+        visible = (own > FREE) & (own <= tid)
+        return jnp.where(visible, w, jnp.zeros((), w.dtype))
     if piggymask is None:
         # Task 1 (or no piggymask attached): only owned entries are visible.
         return jnp.where(owned_now, w, jnp.zeros((), w.dtype))
@@ -72,9 +78,10 @@ def effective_params(
     `compute_dtype` optionally downcasts the masked weights (bf16 for the MXU)
     after masking in f32.
     """
-    if piggymask is None:
+    if piggymask is None or mask_mode == "packnet":
         eff = jax.tree.map(
-            lambda w, m: effective_kernel(w, m, None, task_id, threshold),
+            lambda w, m: effective_kernel(w, m, None, task_id, threshold,
+                                          mask_mode),
             shared,
             ownership,
         )

@@ -42,16 +42,50 @@ def initialize(coordinator_address: Optional[str] = None,
 
     On Cloud TPU pods all arguments resolve from the metadata server /
     environment; elsewhere pass them explicitly (or set JAX_COORDINATOR_*).
+
+    MUST run before any backend-initializing jax call (jax.devices(),
+    jax.process_count(), any op): jax.distributed.initialize raises once the
+    XLA backend exists. The already-initialized check therefore reads the
+    distributed client handle directly instead of jax.process_count(), which
+    would itself initialize the backend and turn every first call into a
+    silent single-host fallback.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    import os
+
+    from jax._src import distributed as _dist
+
+    if _dist.global_state.client is not None:
+        return  # distributed service already initialized (idempotent re-call)
+    # "Is a coordinator configured?" must be decided WITHOUT jax calls that
+    # initialize the XLA backend: explicit args, the env var, or a detectable
+    # cluster environment (TPU pod metadata, Slurm, MPI, k8s).
+    configured = (coordinator_address is not None or num_processes is not None
+                  or process_id is not None
+                  or bool(os.environ.get("JAX_COORDINATOR_ADDRESS")))
+    if not configured:
+        try:
+            from jax._src import clusters
+
+            configured = any(c.is_env_present()
+                             for c in clusters.ClusterEnv._cluster_types)
+        except Exception:
+            pass  # private-API drift: fall through to the call itself
+    if not configured and jax._src.xla_bridge.backends_are_initialized():
+        # plain single-host process that already touched the backend: there is
+        # no coordinator to reach, so a no-op is correct (not a fallback)
+        return
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
-    except (ValueError, RuntimeError):
-        # single-process run with no coordinator configured: local devices only
-        pass
+    except ValueError as e:
+        # Only the positively-identified "no coordinator configured" case may
+        # fall back to single-host; anything else (including RuntimeError
+        # "must be called before any JAX calls" = backend already up IN a
+        # configured cluster, a caller ordering bug) must surface rather than
+        # silently train single-host per-host.
+        if "coordinator_address" not in str(e):
+            raise
 
 
 def make_pod_mesh(n_model: int = 1, n_dcn: Optional[int] = None) -> Mesh:

@@ -91,22 +91,64 @@ def place_state(mesh: Mesh, tree, sharding=None):
     return jax.tree.map(jax.device_put, tree, sharding)
 
 
-def make_parallel_train_step(step_fn, mesh: Mesh, model_sharded: bool = False):
+def opt_state_shardings(mesh: Mesh, opt_state):
+    """Sharding tree of an ALREADY-PLACED optimizer state: mesh-resident
+    leaves (momenta/Adam moments initialized from placed params via
+    zeros_like) keep their sharding; everything else (hyperparam scalars,
+    counts — SingleDeviceSharding from eager init) maps to replicated."""
+    rep = replicated(mesh)
+    return jax.tree.map(
+        lambda a: a.sharding
+        if (isinstance(getattr(a, "sharding", None), NamedSharding)
+            and a.sharding.mesh == mesh) else rep,
+        opt_state)
+
+
+def make_parallel_train_step(step_fn, mesh: Mesh, model_sharded: bool = False,
+                             shared_template=None, has_piggymask: bool = True,
+                             opt_shardings=None):
     """Re-jit a built train step with mesh shardings.
 
     `step_fn` is the UNJITTED step, the full 12-arg shared signature from
     train/step.py: (shared, piggymask, private, bn_state, opt_w, opt_pm,
     ownership, task_id, x, y, rng, it). Inputs x/y are data-sharded;
-    everything else replicated (or model-sharded kernels) — `it` (the global
-    step driving annealed losses, e.g. A-Softmax lambda) rides along
-    replicated so the face experiment runs data-parallel unchanged. XLA
-    inserts psum for grads/metrics/BN stats.
+    everything else replicated — `it` (the global step driving annealed
+    losses, e.g. A-Softmax lambda) rides along replicated so the face
+    experiment runs data-parallel unchanged. XLA inserts psum for
+    grads/metrics/BN stats.
+
+    `model_sharded=True` (needs `shared_template`, the shared pytree, for its
+    leaf shapes): sharable kernels — and their parallel ownership/piggymask
+    trees — shard along output channels on the `model` axis
+    (`shared_shardings`), the TP layout for wide grown networks. Optimizer
+    states are left UNCONSTRAINED (`None` in_shardings = infer from the
+    committed inputs): init them from the already-placed params
+    (`Manager.reset_optimizers` does) and momentum/Adam moments inherit the
+    matching shardings via zeros_like.
     """
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
+    if model_sharded:
+        if shared_template is None:
+            raise ValueError("model_sharded=True needs shared_template")
+        ksh = shared_shardings(mesh, shared_template, model_sharded=True)
+        pm_sh = ksh if has_piggymask else rep
+        ow_sh, opm_sh = opt_shardings if opt_shardings is not None else (None,
+                                                                         None)
+        in_shardings = (ksh, pm_sh, rep, rep, ow_sh, opm_sh, ksh, rep, bsh,
+                        bsh, rep, rep)
+        # outputs MUST be pinned to the input layout: the step's outputs feed
+        # the next call's donated inputs, and XLA's auto-spmd would otherwise
+        # pick fresh layouts (e.g. model-sharding a private head kernel) that
+        # then mismatch the explicit in_shardings.
+        out_shardings = (ksh, pm_sh, rep, rep, ow_sh, opm_sh, rep)
+        return jax.jit(step_fn, in_shardings=in_shardings,
+                       out_shardings=out_shardings,
+                       donate_argnums=(0, 1, 2, 3, 4, 5))
     # shardings resolved lazily per-arg by jit when given as trees of
     # NamedSharding; replicated for state, data-sharded for the batch.
-    in_shardings = (rep, rep, rep, rep, rep, rep, rep, rep, bsh, bsh, rep, rep)
+    in_shardings = (rep, rep, rep, rep, rep, rep, rep, rep, bsh, bsh, rep,
+                    rep)
     return jax.jit(
         step_fn,
         in_shardings=in_shardings,
@@ -114,13 +156,24 @@ def make_parallel_train_step(step_fn, mesh: Mesh, model_sharded: bool = False):
     )
 
 
-def make_parallel_eval_step(eval_fn, mesh: Mesh):
+def make_parallel_eval_step(eval_fn, mesh: Mesh, model_sharded: bool = False,
+                            shared_template=None, has_piggymask: bool = True):
     """Jit the UNJITTED eval step (train/step.py build_eval_step signature:
     shared, piggymask, private, bn_state, ownership, task_id, x, y) with
-    replicated state and data-sharded batches."""
+    replicated (or TP-sharded, see make_parallel_train_step) state and
+    data-sharded batches."""
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
-    return jax.jit(
-        eval_fn,
-        in_shardings=(rep, rep, rep, rep, rep, rep, bsh, bsh),
-    )
+    if model_sharded:
+        if shared_template is None:
+            raise ValueError("model_sharded=True needs shared_template")
+        ksh = shared_shardings(mesh, shared_template, model_sharded=True)
+        # piggymask is UNCONSTRAINED (None = infer): eval serves EVERY task
+        # from one program, and task 1's piggymask is `{}` — a fixed dict
+        # sharding tree would mismatch it. The current task's placed mask
+        # keeps its TP sharding; host-resident masks of other tasks are
+        # placed by jit on first use.
+        in_shardings = (ksh, None, rep, rep, ksh, rep, bsh, bsh)
+    else:
+        in_shardings = (rep, rep, rep, rep, rep, rep, bsh, bsh)
+    return jax.jit(eval_fn, in_shardings=in_shardings)

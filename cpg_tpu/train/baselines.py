@@ -68,7 +68,22 @@ def train_individual_baselines(
 
 def run_packnet_sequence(arch, tasks, cfg: Optional[TrainConfig] = None,
                          seq: Optional[SequenceConfig] = None, **kwargs):
-    """PackNet comparison row: CPG cycle with frozen all-ones piggymasks."""
+    """PackNet comparison row: prune-and-freeze with NO piggyback masks.
+
+    `mask_mode='packnet'` makes every prior task's surviving weight visible
+    unmasked (ops/masked.effective_kernel) and start_task materializes no
+    mask tensors — matching ref:packnet_cifar100_main.py, which has no
+    piggymasks at all, and avoiding O(num_tasks) full-weight-shape mask +
+    Adam tensors of pure overhead (the forward math is identical to the old
+    frozen-at-init masks, which binarized to all-ones)."""
     cfg = cfg or TrainConfig()
     cfg = dataclasses.replace(cfg, train_piggymask=False)
-    return run_sequence(arch, tasks, cfg, seq, **kwargs)
+    seq = seq or SequenceConfig()
+    state = kwargs.pop("state", None)
+    if state is None:
+        state = init_state(arch, jax.random.PRNGKey(seq.seed),
+                           width_mult=kwargs.pop("width_mult", 1.0),
+                           mask_mode="packnet")
+    else:
+        state.mask_mode = "packnet"
+    return run_sequence(arch, tasks, cfg, seq, state=state, **kwargs)

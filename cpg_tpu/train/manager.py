@@ -96,11 +96,16 @@ class Manager:
         extra = {} if loss_fn is None else {"loss_fn": loss_fn}
         if mesh is not None:
             # Multi-device path (SURVEY §5 distributed row): batch-sharded
-            # step over the mesh, state replicated, grads/metrics psum'd by
-            # XLA over ICI. The state trees are placed on the mesh once here;
-            # batches are sharded per step in _train_batches' consumer.
+            # step over the mesh, grads/metrics psum'd by XLA over ICI. State
+            # is replicated, EXCEPT when the mesh has a model axis > 1: then
+            # sharable kernels + their ownership/piggymask trees shard along
+            # output channels (TP for wide grown networks) and XLA partitions
+            # the convs/matmuls, all-gathering activations where needed. The
+            # state trees are placed on the mesh once here; batches are
+            # sharded per step in _train_batches' consumer.
             from ..parallel.mesh import (make_parallel_eval_step,
-                                         make_parallel_train_step, place_state)
+                                         make_parallel_train_step, place_state,
+                                         shared_shardings)
             from .step import build_eval_step, build_train_step
 
             n_data = mesh.shape["data"]
@@ -108,18 +113,36 @@ class Manager:
                 raise ValueError(
                     f"batch_size {batch_size} not divisible by data-axis "
                     f"size {n_data}")
+            model_sharded = mesh.shape.get("model", 1) > 1
             raw_step, (self.opt_w, self.opt_pm) = build_train_step(
                 model_fn, augment_fn=augment_fn, **kwargs, **extra)
-            self.train_step = make_parallel_train_step(raw_step, mesh)
-            self.eval_step = make_parallel_eval_step(
-                build_eval_step(model_fn, preprocess_fn=preprocess_fn,
-                                **kwargs), mesh)
-            state.shared = place_state(mesh, state.shared)
-            state.ownership = place_state(mesh, state.ownership)
+            ksh = (shared_shardings(mesh, state.shared, model_sharded=True)
+                   if model_sharded else None)
+            state.shared = place_state(mesh, state.shared, ksh)
+            state.ownership = place_state(mesh, state.ownership, ksh)
             if self.has_piggymask:
-                self.task.piggymask = place_state(mesh, self.task.piggymask)
+                self.task.piggymask = place_state(mesh, self.task.piggymask,
+                                                  ksh)
             self.task.private = place_state(mesh, self.task.private)
             self.task.bn_state = place_state(mesh, self.task.bn_state)
+            tp_kw = dict(model_sharded=model_sharded,
+                         shared_template=state.shared,
+                         has_piggymask=self.has_piggymask)
+            if model_sharded:
+                # init optimizer states from the PLACED params so momenta /
+                # Adam moments inherit the kernel shardings (zeros_like),
+                # then pin those layouts into the jitted step
+                from ..parallel.mesh import opt_state_shardings
+
+                self.reset_optimizers()
+                tp_kw["opt_shardings"] = (
+                    opt_state_shardings(mesh, self.opt_w_state),
+                    opt_state_shardings(mesh, self.opt_pm_state))
+            self.train_step = make_parallel_train_step(raw_step, mesh, **tp_kw)
+            self.eval_step = make_parallel_eval_step(
+                build_eval_step(model_fn, preprocess_fn=preprocess_fn,
+                                **kwargs), mesh,
+                **{k: v for k, v in tp_kw.items() if k != "opt_shardings"})
         else:
             self.train_step, (self.opt_w, self.opt_pm) = make_train_step(
                 model_fn, augment_fn=augment_fn, **kwargs, **extra
@@ -159,6 +182,17 @@ class Manager:
             from ..parallel.mesh import batch_sharding
 
             sharding = batch_sharding(self.mesh)
+            if jax.process_count() > 1:
+                # Multi-process pod: every process draws the SAME global
+                # shuffle (same seed) and feeds only ITS rows; the prefetcher
+                # assembles the global array from the per-process shards
+                # (make_array_from_process_local_data) — device_put of the
+                # full batch would treat each host's copy as the whole global
+                # batch (distributed.py contract).
+                from ..parallel.distributed import local_batch_slice
+
+                sl = local_batch_slice(self.mesh, self.batch_size)
+                it = ((x[sl], y[sl]) for x, y in it)
         return DevicePrefetcher(it, sharding=sharding)
 
     # -- optimizer state ----------------------------------------------------
@@ -179,6 +213,8 @@ class Manager:
         prune_begin_frac: float = 0.0,
         prune_end_frac: float = 0.8,
         prune_n0=None,
+        start_epoch: int = 0,
+        epoch_callback: Optional[Callable[[int], None]] = None,
     ) -> PhaseResult:
         """Train `epochs`. If `prune_to` is set, runs the gradual-prune window
         inside (ref:--mode prune): cubic schedule from current sparsity to
@@ -190,7 +226,18 @@ class Manager:
         the current counts, which makes successive ratio phases compound
         (0.5-after-0.3 keeps 35%, not 50%). The compact loop in
         train/sequence.py passes the post-pick snapshot so candidate ratios
-        stay absolute, matching the reference's per-ratio semantics."""
+        stay absolute, matching the reference's per-ratio semantics.
+
+        `start_epoch` re-enters an interrupted epoch loop (ref
+        --restore_epoch): the LR schedule resumes at the right point; the
+        caller restores `self.it` and state separately; optimizers are
+        rebuilt fresh (the reference's resume constructs fresh optimizers
+        over the loaded checkpoint too). `epoch_callback(completed_epochs)`
+        fires after EVERY epoch with the live trees synced back into
+        self.state/self.task, so run_task can checkpoint mid-phase; it is
+        skipped in the prune window (gradual-prune schedule state lives in
+        step_i, which a pick-phase resume reconstructs but a mid-window
+        resume would not)."""
         st, task = self.state, self.task
         base_lr = self.cfg.lr if base_lr is None else base_lr
         n = len(self.data["train_x"])
@@ -213,10 +260,11 @@ class Manager:
         private, bn_state = task.private, task.bn_state
         opt_w_state, opt_pm_state = self.opt_w_state, self.opt_pm_state
 
-        step_i = 0
+        step_i = start_epoch * steps_per_epoch
         losses, accs = [], []
         t0 = time.perf_counter()
-        for epoch in range(epochs):
+        metrics = {}
+        for epoch in range(start_epoch, epochs):
             opt_w_state = set_lr(
                 opt_w_state, _lr_at(base_lr, epoch, epochs, self.lr_schedule))
             for bx, by in self._train_batches(steps_per_epoch):
@@ -248,8 +296,20 @@ class Manager:
                 self.it += 1
             losses.append(float(metrics["loss"]))
             accs.append(float(metrics["acc"]))
+            if epoch_callback is not None:
+                # sync the live trees back so the callback (intra-phase
+                # checkpointing) sees current state, then let it run; orbax
+                # copies device->host synchronously inside save(), so the
+                # next step's donation cannot corrupt the snapshot
+                st.shared, st.ownership = shared, ownership
+                task.private, task.bn_state = private, bn_state
+                if self.has_piggymask:
+                    task.piggymask = pm
+                self.opt_w_state, self.opt_pm_state = opt_w_state, opt_pm_state
+                epoch_callback(epoch + 1)
         jax.block_until_ready(shared)
         dt = time.perf_counter() - t0
+        steps_run = step_i - start_epoch * steps_per_epoch
         if losses and not math.isfinite(losses[-1]):
             import logging
 
@@ -275,47 +335,53 @@ class Manager:
         if self._jsonl:
             self._jsonl.write(
                 event="phase", task_id=self.task_id, task=self.task.name,
-                epochs=epochs, steps=step_i, prune_to=prune_to,
+                epochs=epochs, steps=steps_run, prune_to=prune_to,
                 loss=losses[-1] if losses else None, acc=acc, seconds=dt,
-                images_per_sec=step_i * self.batch_size / max(dt, 1e-9))
+                images_per_sec=steps_run * self.batch_size / max(dt, 1e-9))
         return PhaseResult(
             acc=acc,
             loss=losses[-1] if losses else float("nan"),
-            steps=step_i,
+            steps=steps_run,
             seconds=dt,
-            images_per_sec=step_i * self.batch_size / max(dt, 1e-9),
+            images_per_sec=steps_run * self.batch_size / max(dt, 1e-9),
         )
 
     def eval(self, task_id: Optional[int] = None) -> float:
         """Task-conditioned top-1 on the task's test split.
 
-        Batches are padded to the static batch size (XLA shapes) and only the
-        valid prefix is counted — a test split smaller than the batch size
-        must not silently evaluate to zero samples."""
+        Batches are padded to the static batch size (XLA shapes) with label
+        -1 — argmax never returns it, so the step's device-side `acc_sum`
+        counts EXACTLY the valid rows. The count comes back as one replicated
+        scalar: no per-batch logits transfer to the host, and on a
+        multi-process pod (where the sharded logits are not even addressable)
+        every process reads the same globally-reduced value."""
         task_id = self.task_id if task_id is None else task_id
         task = self.state.tasks[task_id]
         pm = task.piggymask if task.piggymask is not None else {}
         x, y = self.data["test_x"], self.data["test_y"]
         n, bs = len(x), self.batch_size
+        n_proc = jax.process_count() if self.mesh is not None else 1
         correct, total = 0, 0
         for s in range(0, n, bs):
-            bx, by = x[s:s + bs], y[s:s + bs]
+            bx, by = x[s:s + bs], np.asarray(y[s:s + bs])
             nvalid = len(by)
             if nvalid < bs:  # pad to the compiled batch shape
                 pad = bs - nvalid
                 bx = np.concatenate([bx, np.repeat(bx[-1:], pad, axis=0)])
-                by = np.concatenate([by, np.repeat(by[-1:], pad, axis=0)])
+                by = np.concatenate([by, np.full(pad, -1, by.dtype)])
             if self.mesh is not None:
-                from ..parallel.mesh import shard_batch
+                from ..parallel.distributed import (local_batch_slice,
+                                                    put_global_batch)
 
-                bx, by = shard_batch(self.mesh, bx, by)
-            logits, _ = self.eval_step(
+                if n_proc > 1:
+                    sl = local_batch_slice(self.mesh, bs)
+                    bx, by = bx[sl], by[sl]
+                bx, by = put_global_batch(self.mesh, bx, by)
+            _, metrics = self.eval_step(
                 self.state.shared, pm, task.private, task.bn_state,
                 self.state.ownership, task_id, bx, by,
             )
-            cl = logits[0] if isinstance(logits, tuple) else logits
-            pred = np.asarray(jnp.argmax(cl, -1))[:nvalid]
-            correct += int((pred == y[s:s + nvalid]).sum())
+            correct += int(metrics["acc_sum"])
             total += nvalid
         return correct / max(total, 1)
 

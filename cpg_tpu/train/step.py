@@ -101,6 +101,10 @@ def build_train_step(
         loss_fn = make_cross_entropy(cfg.label_smoothing)
 
     use_fused = cfg.use_pallas or cfg.use_pallas_conv
+    if use_fused and mask_mode == "packnet":
+        raise ValueError(
+            "PackNet mode (mask_mode='packnet') has no piggymasks to fuse — "
+            "use the default XLA path (use_pallas/use_pallas_conv=False)")
 
     def forward(params, private, bn_state, x, masking=None):
         return fw.apply(

@@ -48,10 +48,30 @@ def _async_checkpointer():
     return _ASYNC["ckptr"]
 
 
+_PENDING_RM: list = []
+
+
+def _flush_removals() -> None:
+    import shutil
+
+    while _PENDING_RM:
+        shutil.rmtree(_PENDING_RM.pop(), ignore_errors=True)
+
+
+def remove_after_save(path: str) -> None:
+    """Delete checkpoint dir `path` once every in-flight async save has
+    landed. Retires a task's transient `.pick` phase checkpoint only AFTER its
+    final checkpoint is durably on disk — deleting earlier would reopen the
+    crash window the phase checkpoint exists to close, and keeping it forever
+    leaks a full-state checkpoint per task (GBs at late-task width 2.0)."""
+    _PENDING_RM.append(path)
+
+
 def wait_for_saves() -> None:
     """Block until every async `save_state(..., block=False)` hit disk."""
     if _ASYNC["ckptr"] is not None:
         _ASYNC["ckptr"].wait_until_finished()
+    _flush_removals()
 
 
 def save_state(state: CPGState, path: str, block: bool = True) -> str:
@@ -72,6 +92,7 @@ def save_state(state: CPGState, path: str, block: bool = True) -> str:
     else:
         c = _async_checkpointer()
         c.wait_until_finished()
+        _flush_removals()  # prior save landed: retire its superseded phases
         c.save(os.path.join(path, "tree"), _to_tree(state), force=True)
     meta = {
         "arch": state.arch,

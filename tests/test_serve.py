@@ -169,3 +169,55 @@ def test_export_cli(tmp_path):
     srv = TaskServer.load(rec["artifact"], preprocess_fn=normalize01)
     y = srv.predict(1, d1["test_x"][:8])
     assert y.shape == (8, d1["num_classes"])
+
+
+def test_distributed_initialize_configured_after_backend_raises():
+    """With a coordinator EXPLICITLY configured but the XLA backend already
+    initialized, initialize() must surface the ordering bug (RuntimeError)
+    instead of silently training single-host per-host (ADVICE r2 #1)."""
+    import pytest
+
+    from cpg_tpu.parallel.distributed import initialize
+
+    with pytest.raises(RuntimeError, match="before any JAX"):
+        initialize(coordinator_address="127.0.0.1:1",
+                   num_processes=2, process_id=0)
+
+
+def test_lru_cache_matches_precompute_and_bounds_memory():
+    """cache='lru' must return identical logits to precompute while holding
+    at most max_cached tasks' effective weights resident (VERDICT r2 #9:
+    precompute memory is O(tasks x model) — unbounded at many tasks)."""
+    state, d1, d2 = _two_task_state()
+    pre = TaskServer(state, preprocess_fn=normalize01,
+                     compute_dtype=jnp.float32, min_bucket=8)
+    lru = TaskServer(state, preprocess_fn=normalize01,
+                     compute_dtype=jnp.float32, min_bucket=8,
+                     cache="lru", max_cached=1)
+    assert not lru._eff  # nothing materialized at load
+    for tid, d in ((1, d1), (2, d2), (1, d1)):  # forces eviction + refill
+        got = lru.predict(tid, d["test_x"][:5])
+        want = pre.predict(tid, d["test_x"][:5])
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+        assert len(lru._eff) <= 1  # bounded: only the hot task resident
+
+    # int8 path through lru: same answers as int8 precompute
+    pre8 = TaskServer(state, preprocess_fn=normalize01, min_bucket=8,
+                      quantize="int8")
+    lru8 = TaskServer(state, preprocess_fn=normalize01, min_bucket=8,
+                      quantize="int8", cache="lru", max_cached=1)
+    for tid, d in ((1, d1), (2, d2)):
+        np.testing.assert_allclose(lru8.predict(tid, d["test_x"][:5]),
+                                   pre8.predict(tid, d["test_x"][:5]),
+                                   rtol=1e-5, atol=1e-5)
+        assert len(lru8._eff) <= 1 and len(lru8._scales) <= 1
+
+    # export from an lru server still writes every task
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        lru.export(td)
+        srv2 = TaskServer.load(td, preprocess_fn=normalize01)
+        np.testing.assert_allclose(srv2.predict(2, d2["test_x"][:5]),
+                                   pre.predict(2, d2["test_x"][:5]),
+                                   rtol=1e-4, atol=1e-4)

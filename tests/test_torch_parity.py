@@ -113,3 +113,81 @@ def test_spherenet20_embedding_matches_torch():
     got = np.array(predict(state, 1, jnp.asarray(x),
                            model_kwargs={"head_type": "none"}))
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+class TorchBottleneck(nn.Module):
+    """torchvision Bottleneck (expansion 4): key layout layerL.B.convN/bnN +
+    optional downsample Sequential(conv, bn) — the layout the reference's
+    released fine-grained checkpoints use (ref:models/resnet.py)."""
+
+    def __init__(self, cin, planes, stride):
+        super().__init__()
+        cout = planes * 4
+        self.conv1 = nn.Conv2d(cin, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.conv3 = nn.Conv2d(planes, cout, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(cout)
+        self.relu = nn.ReLU(inplace=True)
+        self.downsample = None
+        if stride != 1 or cin != cout:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(cin, cout, 1, stride, bias=False),
+                nn.BatchNorm2d(cout))
+
+    def forward(self, x):
+        idt = x if self.downsample is None else self.downsample(x)
+        y = self.relu(self.bn1(self.conv1(x)))
+        y = self.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        return self.relu(y + idt)
+
+
+class TorchResNet50(nn.Module):
+    def __init__(self, num_classes=6):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.relu = nn.ReLU(inplace=True)
+        self.maxpool = nn.MaxPool2d(3, 2, 1)
+        cin = 64
+        for li, (blocks, planes) in enumerate([(3, 64), (4, 128), (6, 256),
+                                               (3, 512)], 1):
+            layer = []
+            for bi in range(blocks):
+                stride = 2 if (bi == 0 and li > 1) else 1
+                layer.append(TorchBottleneck(cin, planes, stride))
+                cin = planes * 4
+            setattr(self, f"layer{li}", nn.Sequential(*layer))
+        self.avgpool = nn.AdaptiveAvgPool2d(1)
+        self.fc = nn.Linear(2048, num_classes)
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        for li in range(1, 5):
+            x = getattr(self, f"layer{li}")(x)
+        return self.fc(self.avgpool(x).flatten(1))
+
+
+def test_resnet50_forward_matches_torch():
+    """The converter that will eat REAL released checkpoints
+    (ref:CPG_imagenet_main.py), forward-proven against an actual torch
+    ResNet-50 — the architecture where r2's two stride-2 padding bugs lived
+    (VERDICT r2 #3)."""
+    tm = TorchResNet50(num_classes=6).eval()
+    _randomize_bn(tm)
+    from cpg_tpu.train.pretrained import convert_torch_resnet50
+
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    shared, private, bn = convert_torch_resnet50(sd)
+    assert len(shared) == 53, len(shared)  # 1 stem + 16*3 + 4 downsample
+
+    state = init_state("resnet50", jax.random.PRNGKey(0))
+    adopt_pretrained_task1(state, "imagenet", 6, shared, private=private,
+                           bn_state=bn)
+    x = np.random.RandomState(2).randn(2, 224, 224, 3).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got = np.array(predict(state, 1, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
