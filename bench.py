@@ -109,7 +109,10 @@ def main():
     from cpg_tpu.data.augment import cifar_train_augment, face_train_augment
     from cpg_tpu.train.step import TrainConfig
 
-    cfg = TrainConfig(compute_dtype=jnp.bfloat16)
+    # headline config carries the measured-winning scoped-VMEM budget
+    # (perf_r3: 123.0 vs 128.9 ms at b8192, +4.7%; RESULTS.md round 3)
+    VMEM64M = {"xla_tpu_scoped_vmem_limit_kib": "65536"}
+    cfg = TrainConfig(compute_dtype=jnp.bfloat16, compiler_options=VMEM64M)
 
     # headline: default-path masked VGG16-BN step; the step is HBM-bound
     # (see RESULTS.md roofline), so a larger batch amortizes fixed passes —
@@ -173,6 +176,7 @@ def main():
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
             "compute_dtype": "bfloat16",
+            "compiler_options": {"xla_tpu_scoped_vmem_limit_kib": "65536"},
             "ablation": abl,
             "roofline": roofline,
             "baseline_note": "vs_baseline = fraction of the HBM-bandwidth "

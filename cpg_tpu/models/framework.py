@@ -97,6 +97,15 @@ class Ctx:
     # the int8 MXU path (measured 1.32x bf16 conv on v5e + half the weight
     # and activation bytes). Eval-only — training never quantizes.
     quant_scales: Optional[Dict[str, jax.Array]] = None
+    # static per-layer ACTIVATION scales (serve.py calibrate()): when set,
+    # the int8 path uses these instead of the dynamic per-batch max — outputs
+    # become batching-invariant (a request's logits no longer depend on what
+    # else shares its bucket). Keys missing here fall back to dynamic.
+    act_scales: Optional[Dict[str, jax.Array]] = None
+    # calibration collector: when a dict is attached, the int8 path records
+    # each layer's observed activation scale (max over calls) into it —
+    # used EAGERLY by TaskServer.calibrate, never under jit.
+    act_stats: Optional[Dict[str, float]] = None
 
     # -- param accessors ----------------------------------------------------
     def shared_param(self, name, shape, init_fn):
@@ -138,16 +147,35 @@ class Ctx:
                                 mk.mask_mode)
 
 
-def _quantize_activation(x):
-    """Dynamic per-tensor symmetric int8: scale from the batch's max |x|.
+def _quantize_activation(x, scale=None):
+    """Per-tensor symmetric int8 activation quantization.
+
+    `scale=None`: dynamic — scale from this batch's max |x| (default PTQ;
+    outputs then depend on batch composition). With a static `scale`
+    (TaskServer.calibrate), identical inputs give identical outputs
+    regardless of co-batched traffic; out-of-range activations clip.
 
     Serving-grade PTQ: weights carry per-output-channel static scales (set at
     TaskServer load), activations quantize per call. The int32 accumulator
     rescales by s_x * s_w — exact integer math inside, one f32 epilogue."""
     xf = x.astype(jnp.float32)
-    s = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
+    s = (jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
+         if scale is None else jnp.asarray(scale, jnp.float32))
     xq = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
     return xq, s
+
+
+def _act_scale_in(ctx: "Ctx", key: str):
+    """The static activation scale for a layer, if calibrated."""
+    if ctx.act_scales is not None:
+        return ctx.act_scales.get(key)
+    return None
+
+
+def _record_act(ctx: "Ctx", key: str, s):
+    """Calibration collection (eager only): track the max observed scale."""
+    if ctx.act_stats is not None:
+        ctx.act_stats[key] = max(float(s), ctx.act_stats.get(key, 0.0))
 
 
 # ---------------------------------------------------------------------------
@@ -188,7 +216,8 @@ def sconv(
             return y
         w = ctx.masked_weight(key, w)
     if ctx.quant_scales is not None and key in ctx.quant_scales:
-        xq, s_x = _quantize_activation(x)
+        xq, s_x = _quantize_activation(x, _act_scale_in(ctx, key))
+        _record_act(ctx, key, s_x)
         yi = jax.lax.conv_general_dilated(
             xq, w, window_strides=(stride, stride), padding=padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -242,7 +271,8 @@ def sdense(
             return y
         w = ctx.masked_weight(key, w)
     if ctx.quant_scales is not None and key in ctx.quant_scales:
-        xq, s_x = _quantize_activation(x)
+        xq, s_x = _quantize_activation(x, _act_scale_in(ctx, key))
+        _record_act(ctx, key, s_x)
         yi = jnp.dot(xq, w, preferred_element_type=jnp.int32)
         y = yi.astype(jnp.float32) * (s_x * ctx.quant_scales[key])
         if use_bias:
@@ -366,12 +396,17 @@ def apply(
     compute_dtype=jnp.float32,
     masking: Optional[Masking] = None,
     quant_scales: Optional[Dict] = None,
+    act_scales: Optional[Dict] = None,
+    act_stats: Optional[Dict] = None,
     **kwargs,
 ):
     """Run the model. With `masking=None` (default), `shared` must hold
     pre-masked effective params; with a Masking, `shared` holds RAW weights
     and each sharable layer selects (or Pallas-fuses) its effective weight.
-    With `quant_scales` (serve.py int8 path), `shared` holds int8 kernels."""
+    With `quant_scales` (serve.py int8 path), `shared` holds int8 kernels;
+    `act_scales` swaps its dynamic activation scales for calibrated static
+    ones and `act_stats` (a plain dict, EAGER calls only) collects observed
+    scales for TaskServer.calibrate."""
     ctx = Ctx(
         mode="apply",
         train=train,
@@ -381,6 +416,8 @@ def apply(
         compute_dtype=compute_dtype,
         masking=masking,
         quant_scales=quant_scales,
+        act_scales=act_scales,
+        act_stats=act_stats,
     )
     out = model_fn(ctx, x, **kwargs)
     return out, ctx.new_bn_state

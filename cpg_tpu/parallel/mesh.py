@@ -106,7 +106,7 @@ def opt_state_shardings(mesh: Mesh, opt_state):
 
 def make_parallel_train_step(step_fn, mesh: Mesh, model_sharded: bool = False,
                              shared_template=None, has_piggymask: bool = True,
-                             opt_shardings=None):
+                             opt_shardings=None, compiler_options=None):
     """Re-jit a built train step with mesh shardings.
 
     `step_fn` is the UNJITTED step, the full 12-arg shared signature from
@@ -144,7 +144,8 @@ def make_parallel_train_step(step_fn, mesh: Mesh, model_sharded: bool = False,
         out_shardings = (ksh, pm_sh, rep, rep, ow_sh, opm_sh, rep)
         return jax.jit(step_fn, in_shardings=in_shardings,
                        out_shardings=out_shardings,
-                       donate_argnums=(0, 1, 2, 3, 4, 5))
+                       donate_argnums=(0, 1, 2, 3, 4, 5),
+                       compiler_options=compiler_options)
     # shardings resolved lazily per-arg by jit when given as trees of
     # NamedSharding; replicated for state, data-sharded for the batch.
     in_shardings = (rep, rep, rep, rep, rep, rep, rep, rep, bsh, bsh, rep,
@@ -153,11 +154,13 @@ def make_parallel_train_step(step_fn, mesh: Mesh, model_sharded: bool = False,
         step_fn,
         in_shardings=in_shardings,
         donate_argnums=(0, 1, 2, 3, 4, 5),
+        compiler_options=compiler_options,
     )
 
 
 def make_parallel_eval_step(eval_fn, mesh: Mesh, model_sharded: bool = False,
-                            shared_template=None, has_piggymask: bool = True):
+                            shared_template=None, has_piggymask: bool = True,
+                            compiler_options=None):
     """Jit the UNJITTED eval step (train/step.py build_eval_step signature:
     shared, piggymask, private, bn_state, ownership, task_id, x, y) with
     replicated (or TP-sharded, see make_parallel_train_step) state and
@@ -176,4 +179,5 @@ def make_parallel_eval_step(eval_fn, mesh: Mesh, model_sharded: bool = False,
         in_shardings = (ksh, None, rep, rep, ksh, rep, bsh, bsh)
     else:
         in_shardings = (rep, rep, rep, rep, rep, rep, bsh, bsh)
-    return jax.jit(eval_fn, in_shardings=in_shardings)
+    return jax.jit(eval_fn, in_shardings=in_shardings,
+                   compiler_options=compiler_options)

@@ -73,16 +73,16 @@ class TaskServer:
         bf16 conv throughput on v5e + half the weight/activation bytes).
         Heads/BN/bias stay float; expect a small top-1 delta (test-bounded).
 
-        KNOWN NONDETERMINISM (int8 only): activation scales are dynamic
-        per-tensor (max |x| over the whole batch), so a request's logits can
-        differ at the quantization-noise level depending on which other
-        requests share its bucket — identical inputs may return slightly
-        different int8 logits across calls under mixed traffic. Padding
-        repeats a real row (scale-neutral), but co-batched outliers change
-        the scale. Use bf16 (quantize=None) where bit-stable outputs across
-        batch compositions are required; static per-layer activation
-        calibration at export time would remove this and is a known TODO
-        trade-off (calibration data dependence) — ADVICE r2 #3.
+        KNOWN NONDETERMINISM (int8 only, uncalibrated): activation scales
+        default to dynamic per-tensor (max |x| over the whole batch), so a
+        request's logits can differ at the quantization-noise level
+        depending on which other requests share its bucket. Padding repeats
+        a real row (scale-neutral), but co-batched outliers change the
+        scale. Call `calibrate()` to fix STATIC per-layer activation scales
+        from a calibration set — outputs then become batching-invariant
+        (exported/loaded with the artifact) — or use bf16 (quantize=None)
+        where bit-stable outputs are required without calibration data
+        (ADVICE r2 #3).
 
         `cache`: "precompute" (default) selects every task's effective
         weights at load — fastest request path, O(tasks x model) device
@@ -110,6 +110,7 @@ class TaskServer:
         # (and zero select/binarize work on the request path).
         self._eff: Dict[int, Dict] = {}
         self._scales: Dict[int, Dict] = {}
+        self._act_scales: Dict[int, Optional[Dict]] = {}
         self._fns: Dict[int, Callable] = {}
         self._lru: list = []  # task access order, most recent last
         # one jitted selection program reused across tasks (task_id traced);
@@ -165,19 +166,54 @@ class TaskServer:
         nc, mult = task.num_classes, self.state.width_mult
         prep, cdt = self.preprocess_fn, self.compute_dtype
 
-        # scales ride as an ARGUMENT, not a closure: under LRU eviction the
+        # scales ride as ARGUMENTS, not closures: under LRU eviction the
         # cached scale arrays are dropped and re-materialized, and a closure
         # would both pin the old buffers alive and serve stale references
         @jax.jit
-        def fn(eff, scales, private, bn_state, x):
+        def fn(eff, scales, act_scales, private, bn_state, x):
             xx = prep(x) if prep is not None else x
             logits, _ = fw.apply(self.model_fn, eff, private, bn_state, xx,
                                  train=False, compute_dtype=cdt,
                                  num_classes=nc, mult=mult,
-                                 quant_scales=scales, **mkw)
+                                 quant_scales=scales, act_scales=act_scales,
+                                 **mkw)
             return logits[0] if isinstance(logits, tuple) else logits
 
         return fn
+
+    def calibrate(self, calib, margin: float = 1.0) -> Dict[int, Dict]:
+        """Fix STATIC per-layer activation scales from a calibration set —
+        int8 outputs become batching-invariant (identical inputs -> identical
+        logits regardless of co-batched traffic; ADVICE r2 #3). Dynamic
+        per-batch scales remain the default for uncalibrated tasks.
+
+        `calib`: {task_id: uint8 batch} (or one batch applied to every
+        task). `margin` multiplies the observed max-|x| scale (headroom for
+        activations beyond the calibration set; larger values trade clipping
+        risk for quantization step size). Returns the scales per task."""
+        import numpy as np
+
+        if self.quantize != "int8":
+            raise ValueError("calibrate() applies to quantize='int8' servers")
+        tasks = (calib if isinstance(calib, dict)
+                 else {tid: calib for tid in self.state.tasks})
+        for tid, x in tasks.items():
+            task = self.state.tasks[tid]
+            eff = self._get_eff(tid)
+            scales = self._scales.get(tid)
+            mkw = task.meta.get("model_kwargs") or {}
+            stats: Dict[str, float] = {}
+            xx = jnp.asarray(np.asarray(x))
+            if self.preprocess_fn is not None:
+                xx = self.preprocess_fn(xx)
+            fw.apply(self.model_fn, eff, task.private, task.bn_state, xx,
+                     train=False, compute_dtype=self.compute_dtype,
+                     num_classes=task.num_classes,
+                     mult=self.state.width_mult, quant_scales=scales,
+                     act_stats=stats, **mkw)  # EAGER: stats is a plain dict
+            self._act_scales[tid] = {k: jnp.float32(v * margin)
+                                     for k, v in stats.items()}
+        return {tid: self._act_scales[tid] for tid in tasks}
 
     def predict(self, task_id: int, x) -> np.ndarray:
         """Logits for a request batch under one task's view (host in/out)."""
@@ -193,8 +229,10 @@ class TaskServer:
             pad = b - len(chunk)
             if pad:
                 chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
-            y = self._fns[task_id](eff, scales, task.private,
-                                   task.bn_state, jnp.asarray(chunk))
+            y = self._fns[task_id](eff, scales,
+                                   self._act_scales.get(task_id),
+                                   task.private, task.bn_state,
+                                   jnp.asarray(chunk))
             out.append(np.asarray(y)[: len(x[s:s + b])])
         return np.concatenate(out)
 
@@ -244,6 +282,9 @@ class TaskServer:
             if scales is not None:
                 arrs.update({f"scale/{k}": np.asarray(v)
                              for k, v in scales.items()})
+            if self._act_scales.get(tid):
+                arrs.update({f"act/{k}": np.asarray(v)
+                             for k, v in self._act_scales[tid].items()})
             arrs.update({f"private/{k}": np.asarray(v)
                          for k, v in task.private.items()})
             arrs.update({f"bn/{k}": np.asarray(v)
@@ -280,6 +321,7 @@ class TaskServer:
         srv.model_fn, srv.in_shape = get_model(meta["arch"])
         tasks = {}
         srv._eff, srv._scales, srv._fns = {}, {}, {}
+        srv._act_scales = {}
         for tid_s, tm in meta["tasks"].items():
             tid = int(tid_s)
             z = np.load(os.path.join(path, f"task{tid:02d}.npz"))
@@ -288,6 +330,8 @@ class TaskServer:
             srv._eff[tid] = pick("eff/")
             sc = pick("scale/")
             srv._scales[tid] = sc or None
+            act = pick("act/")
+            srv._act_scales[tid] = act or None
             tasks[tid] = TaskEntry(
                 name=tm["name"], num_classes=tm["num_classes"],
                 piggymask=None, private=pick("private/"),

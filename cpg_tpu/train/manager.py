@@ -127,7 +127,8 @@ class Manager:
             self.task.bn_state = place_state(mesh, self.task.bn_state)
             tp_kw = dict(model_sharded=model_sharded,
                          shared_template=state.shared,
-                         has_piggymask=self.has_piggymask)
+                         has_piggymask=self.has_piggymask,
+                         compiler_options=cfg.compiler_options)
             if model_sharded:
                 # init optimizer states from the PLACED params so momenta /
                 # Adam moments inherit the kernel shardings (zeros_like),

@@ -52,6 +52,12 @@ class TrainConfig:
                          # patches). NOTE: im2col inflates activation traffic
                          # ~k^2 x; XLA's native conv usually wins — measure
                          # (bench.py ablation) before enabling
+    compiler_options: Optional[Dict[str, str]] = None  # per-executable XLA
+                         # options for the jitted steps, e.g.
+                         # {"xla_tpu_scoped_vmem_limit_kib": "65536"} — a
+                         # larger scoped-VMEM budget deepens fusion on the
+                         # HBM-bound VGG step (measured r3: +4% at b8192).
+                         # None = compiler defaults.
 
 
 def make_optimizers(cfg: TrainConfig):
@@ -182,7 +188,9 @@ def build_train_step(
 def make_train_step(model_fn: Callable, **kwargs):
     """The donated, jitted single-host train step (see build_train_step)."""
     step, opts = build_train_step(model_fn, **kwargs)
-    return jax.jit(step, donate_argnums=(0, 1, 2, 3, 4, 5)), opts
+    co = getattr(kwargs.get("cfg"), "compiler_options", None)
+    return jax.jit(step, donate_argnums=(0, 1, 2, 3, 4, 5),
+                   compiler_options=co), opts
 
 
 def build_eval_step(
@@ -236,4 +244,5 @@ def build_eval_step(
 
 def make_eval_step(model_fn: Callable, **kwargs):
     """The jitted single-host eval step (see build_eval_step)."""
-    return jax.jit(build_eval_step(model_fn, **kwargs))
+    co = getattr(kwargs.get("cfg"), "compiler_options", None)
+    return jax.jit(build_eval_step(model_fn, **kwargs), compiler_options=co)

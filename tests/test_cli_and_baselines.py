@@ -82,6 +82,14 @@ def test_cli_end_to_end(tmp_path):
 
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    # strip the axon TPU plugin's site dir: its sitecustomize re-pins
+    # jax_platforms to "axon,cpu" at interpreter start (overriding the env
+    # var), so the subprocess would otherwise initialize the RELAY-backed
+    # TPU — contending with real TPU jobs and hanging for the full timeout
+    # whenever the relay is unresponsive. This test is a CPU test.
+    env["PYTHONPATH"] = ":".join(
+        p for p in env.get("PYTHONPATH", "").split(":")
+        if p and "axon" not in p)
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=1200,
                          env=env, cwd="/root/repo")
     assert out.returncode == 0, out.stderr[-2000:]
