@@ -276,6 +276,31 @@ def build_parser():
     pe.add_argument("--out", required=True)
     pe.add_argument("--int8", action="store_true",
                     help="post-training-quantize the effective weights")
+    pe.add_argument("--calibrate", default=None, metavar="NPZ",
+                    help="int8 activation calibration set: npz with "
+                         "{x: uint8 NHWC} (one batch applied to every task) "
+                         "or {task<K>: batch} per task id — fixes static "
+                         "per-layer activation scales so int8 logits are "
+                         "batching-invariant (TaskServer.calibrate)")
+    pe.add_argument("--experiment", default="cifar100",
+                    choices=["cifar100", "finegrained", "face"],
+                    help="eval preprocess applied during --calibrate (must "
+                         "match what `serve` will use, or the calibrated "
+                         "activation ranges are wrong)")
+    pv = sub.add_parser("serve",
+                        help="batch inference from a serving artifact "
+                             "(TaskServer.load): offline request-file mode")
+    pv.add_argument("--artifact", required=True,
+                    help="directory written by `export` / TaskServer.export")
+    pv.add_argument("--requests", required=True,
+                    help="npz with {x: uint8 NHWC} + either --task-id or a "
+                         "per-row {task_ids: int32 (N,)} for mixed routing")
+    pv.add_argument("--task-id", type=int, default=None)
+    pv.add_argument("--out", default=None,
+                    help="write logits (+ per-row argmax) to this npz")
+    pv.add_argument("--experiment", default="cifar100",
+                    choices=["cifar100", "finegrained", "face"],
+                    help="selects the eval preprocess fn for the artifact")
     return parser
 
 
@@ -295,14 +320,67 @@ def main(argv=None):
         return 0
 
     if args.cmd == "export":
+        import numpy as np
+
         from .serve import TaskServer
         from .utils.checkpoint import load_state
 
+        from .data import augment as A
+
+        prep = {"cifar100": A.cifar_eval_preprocess,
+                "finegrained": A.imagenet_eval_preprocess,
+                "face": A.face_eval_preprocess}[args.experiment]
         state = load_state(args.checkpoint)
-        srv = TaskServer(state, quantize="int8" if args.int8 else None)
+        srv = TaskServer(state, preprocess_fn=prep,
+                         quantize="int8" if args.int8 else None)
+        calibrated = 0
+        if args.calibrate:
+            z = dict(np.load(args.calibrate))
+            calib = ({int(k[4:]): v for k, v in z.items()
+                      if k.startswith("task")} or z["x"])
+            calibrated = len(srv.calibrate(calib))
         p = srv.export(args.out)
         print(json.dumps({"artifact": p, "tasks": state.num_tasks,
-                          "quantize": srv.quantize}))
+                          "quantize": srv.quantize,
+                          "calibrated_tasks": calibrated}))
+        return 0
+
+    if args.cmd == "serve":
+        # offline serving: the production path for batch scoring — load the
+        # deployment artifact (no training stack), route requests, write
+        # logits. The reference's only inference story is per-task
+        # `--mode inference` over its own test split; this serves arbitrary
+        # request files against the exported multi-task artifact.
+        import numpy as np
+
+        from .data import augment as A
+        from .serve import TaskServer
+
+        prep = {"cifar100": A.cifar_eval_preprocess,
+                "finegrained": A.imagenet_eval_preprocess,
+                "face": A.face_eval_preprocess}[args.experiment]
+        srv = TaskServer.load(args.artifact, preprocess_fn=prep)
+        z = dict(np.load(args.requests))
+        x = z["x"]
+        if args.task_id is not None:
+            lg = srv.predict(args.task_id, x)  # (N, C)
+            tids = np.full(len(x), args.task_id, np.int32)
+            pred = np.argmax(lg, 1)
+            arrs = {"logits": lg}
+        elif "task_ids" in z:
+            tids = np.asarray(z["task_ids"], np.int32)
+            outs = srv.predict_mixed(list(zip(tids.tolist(), x)))
+            pred = np.array([int(np.argmax(o)) for o in outs])
+            # heads differ per task -> logits stored per row, ragged-safe
+            arrs = {f"logits_{i}": o for i, o in enumerate(outs)}
+        else:
+            raise SystemExit("--task-id or a task_ids array is required")
+        if args.out:
+            np.savez(args.out, task_ids=tids, pred=pred, **arrs)
+        print(json.dumps({"n": int(len(x)),
+                          "tasks": sorted(set(tids.tolist())),
+                          "pred_head": pred[:16].tolist(),
+                          "out": args.out}))
         return 0
 
     if args.cmd == "stats":

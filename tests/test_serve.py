@@ -258,3 +258,65 @@ def test_calibrated_int8_is_batching_invariant():
         srv2 = TaskServer.load(td, preprocess_fn=normalize01)
         assert srv2._act_scales[1], "act scales lost in export/load"
         np.testing.assert_array_equal(srv2.predict(1, probe), alone)
+
+
+def test_serve_cli_offline_batch(tmp_path, monkeypatch):
+    """export --int8 --calibrate -> serve --requests round-trip through the
+    CLI: the deployment story end-to-end with no training stack at serve
+    time (single-task and mixed-task routing modes)."""
+    import contextlib
+    import io
+    import json
+
+    import cpg_tpu.models as M
+    from cpg_tpu.cli import main as cli_main
+    from cpg_tpu.utils.checkpoint import save_state
+
+    # cifar100 preprocess expects 32x32; register tiny_cnn under a 32px arch
+    state, d1, d2 = _two_task_state()
+    save_state(state, str(tmp_path / "ck"))
+    np.savez(str(tmp_path / "calib.npz"), task1=d1["train_x"][:32],
+             task2=d2["train_x"][:32])
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main(["export", "--checkpoint", str(tmp_path / "ck"),
+                       "--out", str(tmp_path / "art"), "--int8",
+                       "--calibrate", str(tmp_path / "calib.npz")])
+    assert rc == 0
+    rec = json.loads(buf.getvalue().strip())
+    assert rec["quantize"] == "int8" and rec["calibrated_tasks"] == 2
+
+    # single-task mode; tiny_cnn eats raw uint8 (normalize01 is the tests'
+    # preprocess; the CLI applies the experiment's — patch it to ours)
+    import cpg_tpu.data.augment as A
+
+    monkeypatch.setattr(A, "cifar_eval_preprocess", normalize01)
+    np.savez(str(tmp_path / "req.npz"), x=d1["test_x"][:10])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main(["serve", "--artifact", str(tmp_path / "art"),
+                       "--requests", str(tmp_path / "req.npz"),
+                       "--task-id", "1", "--out", str(tmp_path / "o1.npz")])
+    assert rc == 0
+    o1 = np.load(str(tmp_path / "o1.npz"))
+    assert o1["logits"].shape == (10, d1["num_classes"])
+    srv = TaskServer(state, preprocess_fn=normalize01, quantize="int8")
+    srv.calibrate({1: d1["train_x"][:32], 2: d2["train_x"][:32]})
+    np.testing.assert_array_equal(o1["pred"],
+                                  np.argmax(srv.predict(1, d1["test_x"][:10]),
+                                            1))
+
+    # mixed-task routing mode
+    np.savez(str(tmp_path / "req2.npz"),
+             x=np.concatenate([d1["test_x"][:3], d2["test_x"][:3]]),
+             task_ids=np.array([1, 1, 1, 2, 2, 2], np.int32))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main(["serve", "--artifact", str(tmp_path / "art"),
+                       "--requests", str(tmp_path / "req2.npz"),
+                       "--out", str(tmp_path / "o2.npz")])
+    assert rc == 0
+    o2 = np.load(str(tmp_path / "o2.npz"))
+    assert list(o2["task_ids"]) == [1, 1, 1, 2, 2, 2]
+    assert o2["logits_3"].shape == (d2["num_classes"],)
