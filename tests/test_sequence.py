@@ -234,3 +234,61 @@ def test_growth_epoch_scale_widens_budgets(monkeypatch):
     assert state.width_mult == 1.5 and reports[1].grew == 1
     # t1: pick 2, compact 2. t2: pick 2 (miss) -> grow -> pick 3 -> compact 3
     assert calls == [2, 2, 2, 3, 3], calls
+
+
+def test_epoch_resume_mid_growth_retry(tmp_path, monkeypatch):
+    """Crash during the RE-PICK at a grown width: the .epoch checkpoint
+    carries {epoch, it, grew} and the grown state; resume must re-enter the
+    grown pick (not restart at mult 1.0) and keep the grew counter."""
+    import cpg_tpu.train.sequence as S
+
+    tasks = {"t1": synthetic_task(0), "t2": synthetic_task(3, num_classes=3)}
+    cfg = TrainConfig(lr=0.05, compute_dtype=jnp.float32)
+    seq = SequenceConfig(
+        finetune_epochs=4, prune_epochs=1, retrain_epochs=1,
+        prune_ratios=(0.2,), batch_size=32, lr=0.05, prune_freq=5,
+        growth_step=0.5, max_width_mult=1.5, on_goal_miss="accept", seed=0,
+        checkpoint_dir=str(tmp_path / "ck"), epoch_checkpoint_freq=1)
+
+    class Crash(RuntimeError):
+        pass
+
+    orig_train = S.Manager.train
+
+    def crashing(self, epochs, **kw):
+        cb = kw.get("epoch_callback")
+        # crash at epoch 2 of the SECOND pick attempt (grown width 1.5)
+        if cb is not None and self.state.width_mult > 1.0:
+            def bomb(completed):
+                cb(completed)
+                if completed == 2:
+                    raise Crash("killed mid-grown-pick")
+            kw["epoch_callback"] = bomb
+        return orig_train(self, epochs, **kw)
+
+    monkeypatch.setattr(S.Manager, "train", crashing)
+    with pytest.raises(Crash):
+        run_sequence("tiny_cnn", tasks, cfg, seq, goals={"t2": 1.01},
+                     augment_fn=norm_augment, preprocess_fn=normalize01)
+    monkeypatch.undo()
+
+    calls = []
+
+    def spy(self, epochs, **kw):
+        calls.append((self.state.width_mult, kw.get("start_epoch", 0)))
+        return orig_train(self, epochs, **kw)
+
+    monkeypatch.setattr(S.Manager, "train", spy)
+    state, reports = run_sequence("tiny_cnn", tasks, cfg, seq,
+                                  goals={"t2": 1.01},
+                                  augment_fn=norm_augment,
+                                  preprocess_fn=normalize01)
+    # t1 resumed from its final checkpoint; t2's first train call resumes the
+    # GROWN pick at epoch 2 — never back at mult 1.0
+    assert calls[0] == (1.5, 2), calls
+    assert state.width_mult == 1.5
+    assert reports[1].grew == 1  # carried through the crash
+    # the resumed model trains (compact-walk acc well above 3-class chance);
+    # final_acc equals the pick acc here because the impossible goal makes
+    # the walk keep the unpruned pick state (accept-best-effort semantics)
+    assert reports[1].ratio_to_acc[0.2] > 0.5
