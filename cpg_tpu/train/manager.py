@@ -364,7 +364,9 @@ class Manager:
         n_proc = jax.process_count() if self.mesh is not None else 1
         correct, total = 0, 0
         for s in range(0, n, bs):
-            bx, by = x[s:s + bs], np.asarray(y[s:s + bs])
+            # int32 labels: the -1 pad must stay -1 (an unsigned dtype would
+            # wrap it to a potentially-valid class id)
+            bx, by = x[s:s + bs], np.asarray(y[s:s + bs], np.int32)
             nvalid = len(by)
             if nvalid < bs:  # pad to the compiled batch shape
                 pad = bs - nvalid
