@@ -26,6 +26,7 @@ from typing import Any, Callable, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 
 def _name_rng(rng, name: str):
@@ -242,7 +243,12 @@ def sconv(
     if use_bias:
         b = ctx.private_param(f"{name}/bias", (features,), lambda r, s: jnp.zeros(s))
         y = y + b
-    return y
+    # Residual tag for TrainConfig.remat_policy='convs': under that policy the
+    # backward pass stores ONLY these conv outputs and recomputes the cheap
+    # BN/ReLU/pool epilogues from them — no conv is ever recomputed, but the
+    # second activation-sized residual per layer (the post-ReLU copy) is never
+    # written. No-op outside a jax.checkpoint(policy=...) context.
+    return checkpoint_name(y, "sconv_out")
 
 
 def sdense(
@@ -288,7 +294,8 @@ def sdense(
     if use_bias:
         b = ctx.private_param(f"{name}/bias", (features,), lambda r, s: jnp.zeros(s))
         y = y + b
-    return y
+    # See sconv: saved residual under remat_policy='convs'.
+    return checkpoint_name(y, "sdense_out")
 
 
 BN_MOMENTUM = 0.1  # torch default: running = (1-m)*running + m*batch

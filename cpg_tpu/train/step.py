@@ -43,6 +43,15 @@ class TrainConfig:
                                   # unmasked and frozen (ref:packnet_*_main.py)
     remat: bool = False  # jax.checkpoint the forward: trade FLOPs for HBM
                          # (large models / batches; ResNet-50 @ 224px)
+    remat_policy: Optional[str] = None  # 'convs' = selective remat: save ONLY
+                         # sconv/sdense outputs as backward residuals and
+                         # recompute the BN/ReLU/pool epilogues from them
+                         # (VPU-cheap, zero conv recompute) — targets the
+                         # HBM-bound step's second activation-sized residual
+                         # per layer. Mutually exclusive with `remat` (which
+                         # recomputes EVERYTHING incl. convs: measured +25%
+                         # slower on the VGG step; this policy exists because
+                         # of that result).
     grad_clip_norm: Optional[float] = None  # global-norm clip (SGD side);
                          # unnormalized trunks (SphereNet) diverge at high lr
     use_pallas: bool = False  # fused Pallas masked matmul in sdense layers:
@@ -58,6 +67,14 @@ class TrainConfig:
                          # larger scoped-VMEM budget deepens fusion on the
                          # HBM-bound VGG step (measured r3: +4% at b8192).
                          # None = compiler defaults.
+
+
+def remat_policy(name: str):
+    """Resolve TrainConfig.remat_policy to a jax.checkpoint policy."""
+    if name == "convs":
+        return jax.checkpoint_policies.save_only_these_names(
+            "sconv_out", "sdense_out")
+    raise ValueError(f"unknown remat_policy {name!r} (expected 'convs')")
 
 
 def make_optimizers(cfg: TrainConfig):
@@ -119,10 +136,14 @@ def build_train_step(
             num_classes=num_classes, mult=mult, **model_kwargs,
         )
 
+    if cfg.remat and cfg.remat_policy:
+        raise ValueError("remat and remat_policy are mutually exclusive")
     if cfg.remat:
         # rematerialize activations in the backward pass instead of storing
         # them: HBM is the usual TPU bottleneck for 224px models
         forward = jax.checkpoint(forward)
+    elif cfg.remat_policy:
+        forward = jax.checkpoint(forward, policy=remat_policy(cfg.remat_policy))
 
     def step(shared, piggymask, private, bn_state, opt_w_state, opt_pm_state,
              ownership, task_id, x, y, rng, it=0):

@@ -39,3 +39,24 @@ def test_remat_step_matches_plain():
     for k in plain[0]:
         np.testing.assert_array_equal(np.array(plain[0][k]),
                                       np.array(remat[0][k]))
+    # Selective remat ('convs': save only sconv/sdense outputs, recompute
+    # BN/ReLU epilogues in backward) — same math, fewer residual bytes.
+    sel = run(dataclasses.replace(cfg, remat_policy="convs"))
+    np.testing.assert_array_equal(
+        np.array(plain[-1]["loss"]), np.array(sel[-1]["loss"]))
+    for k in plain[0]:
+        np.testing.assert_array_equal(np.array(plain[0][k]),
+                                      np.array(sel[0][k]))
+
+
+def test_remat_policy_validation():
+    import pytest
+
+    from cpg_tpu.train.step import remat_policy
+
+    with pytest.raises(ValueError):
+        remat_policy("nope")
+    cfg = TrainConfig(remat=True, remat_policy="convs")
+    with pytest.raises(ValueError):
+        build_train_step(tiny_cnn, num_classes=4, mult=1.0,
+                         has_piggymask=False, cfg=cfg)
