@@ -147,6 +147,7 @@ def _train_cfg(args):
         lr=args.lr, lr_mask=args.lr_mask, weight_decay=args.weight_decay,
         label_smoothing=args.label_smoothing,
         use_pallas=args.use_pallas, use_pallas_conv=args.use_pallas_conv,
+        remat=args.remat, remat_policy=args.remat_policy,
         compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16"
         else jnp.float32,
     )
@@ -185,6 +186,13 @@ def _add_common(p):
     p.add_argument("--use-pallas-conv", action="store_true",
                    help="fused Pallas masked conv (implicit GEMM); measure "
                         "first — XLA native convs usually win on TPU")
+    p.add_argument("--remat", action="store_true",
+                   help="full forward remat (recompute EVERYTHING in "
+                        "backward; measured slower on VGG/ResNet at bench "
+                        "shapes — for genuinely memory-limited runs only)")
+    p.add_argument("--remat-policy", default=None, choices=["convs"],
+                   help="selective remat: save only conv/dense outputs as "
+                        "residuals, recompute BN/ReLU epilogues in backward")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--finetune-epochs", type=int, default=30)

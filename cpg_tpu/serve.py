@@ -66,7 +66,8 @@ class TaskServer:
     def __init__(self, state: CPGState, preprocess_fn: Optional[Callable] = None,
                  compute_dtype=jnp.bfloat16, min_bucket: int = 8,
                  max_bucket: int = 1024, quantize: Optional[str] = None,
-                 cache: str = "precompute", max_cached: int = 4):
+                 cache: str = "precompute", max_cached: int = 4,
+                 mesh: Optional[jax.sharding.Mesh] = None):
         """`quantize="int8"`: post-training quantization of the cached
         effective weights — per-output-channel symmetric scales, dynamic
         per-tensor activation scales, int8 MXU convs/matmuls (measured 1.32x
@@ -91,11 +92,28 @@ class TaskServer:
         least-recently-used beyond `max_cached` — bounded memory at many
         tasks / grown widths (VERDICT r2 weak #8) for one selection program
         (~one jit dispatch) on a cache miss.
+
+        `mesh`: data-parallel serving over a jax.sharding.Mesh — request
+        batches shard across ALL mesh axes (weights/BN replicated; serving
+        is pure DP: a CPG model at mult <=2 replicates easily and masks are
+        frozen, so there is no model-axis win on the request path). Bucket
+        sizes are forced to multiples of the mesh size so every device gets
+        equal rows. Single-host multi-chip throughput scaling; logits are
+        identical to the unmeshed server (tests).
         """
         if quantize not in (None, "int8"):
             raise ValueError(f"unsupported quantize={quantize!r}")
         if cache not in ("precompute", "lru"):
             raise ValueError(f"unsupported cache={cache!r}")
+        self.mesh = mesh
+        if mesh is not None:
+            n = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+            # buckets stay powers of two; just raise the floor to the mesh
+            # size so padded chunks always split evenly across devices
+            min_bucket = max(min_bucket, n)
+            if min_bucket % n:
+                raise ValueError(f"min_bucket {min_bucket} not divisible by "
+                                 f"mesh size {n}")
         self.state = state
         self.preprocess_fn = preprocess_fn
         self.compute_dtype = compute_dtype
@@ -169,7 +187,6 @@ class TaskServer:
         # scales ride as ARGUMENTS, not closures: under LRU eviction the
         # cached scale arrays are dropped and re-materialized, and a closure
         # would both pin the old buffers alive and serve stale references
-        @jax.jit
         def fn(eff, scales, act_scales, private, bn_state, x):
             xx = prep(x) if prep is not None else x
             logits, _ = fw.apply(self.model_fn, eff, private, bn_state, xx,
@@ -179,7 +196,14 @@ class TaskServer:
                                  **mkw)
             return logits[0] if isinstance(logits, tuple) else logits
 
-        return fn
+        if self.mesh is None:
+            return jax.jit(fn)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(self.mesh, PartitionSpec())
+        xsh = NamedSharding(self.mesh, PartitionSpec(self.mesh.axis_names))
+        return jax.jit(fn, in_shardings=(rep, rep, rep, rep, rep, xsh),
+                       out_shardings=xsh)
 
     def calibrate(self, calib, margin: float = 1.0) -> Dict[int, Dict]:
         """Fix STATIC per-layer activation scales from a calibration set —
@@ -300,7 +324,8 @@ class TaskServer:
 
     @classmethod
     def load(cls, path: str, preprocess_fn: Optional[Callable] = None,
-             min_bucket: int = 8, max_bucket: int = 1024) -> "TaskServer":
+             min_bucket: int = 8, max_bucket: int = 1024,
+             mesh: Optional[jax.sharding.Mesh] = None) -> "TaskServer":
         """Reconstruct a server from an `export()` artifact (no training
         state required — builds a minimal frozen CPGState shell)."""
         import json
@@ -311,6 +336,10 @@ class TaskServer:
         with open(os.path.join(path, "serving_meta.json")) as f:
             meta = json.load(f)
         srv = cls.__new__(cls)
+        srv.mesh = mesh
+        if mesh is not None:
+            min_bucket = max(min_bucket, int(np.prod(
+                [mesh.shape[a] for a in mesh.axis_names])))
         srv.preprocess_fn = preprocess_fn
         srv.compute_dtype = {"bfloat16": jnp.bfloat16,
                              "float32": jnp.float32,

@@ -162,3 +162,34 @@ def test_dp_multi_step_training_progresses(setup):
         losses.append(float(m["loss"]))
     tail = sum(losses[-5:]) / 5
     assert tail < losses[0] * 0.6, f"no learning under DP: {losses}"
+
+
+def test_dp_step_with_remat_policy_matches(setup):
+    """remat_policy='convs' must compose with the mesh-parallel wrapper and
+    reproduce the plain parallel step's numerics exactly."""
+    import dataclasses
+
+    data, cfg = setup
+    x = jnp.asarray(data["train_x"][:64])
+    y = jnp.asarray(data["train_y"][:64])
+    rng = jax.random.PRNGKey(3)
+    mesh = make_mesh()
+
+    outs = []
+    for c in (cfg, dataclasses.replace(cfg, remat_policy="convs")):
+        state, task, step, ows, opms = _fresh(c, data)
+        pstep = make_parallel_train_step(step, mesh)
+        shared = place_state(mesh, state.shared)
+        own = place_state(mesh, state.ownership)
+        priv = place_state(mesh, task.private)
+        bn = place_state(mesh, task.bn_state)
+        ows, opms = place_state(mesh, ows), place_state(mesh, opms)
+        xs, ys = shard_batch(mesh, x, y)
+        outs.append(pstep(shared, {}, priv, bn, ows, opms, own, 1, xs, ys,
+                          rng, 0))
+    plain, sel = outs
+    np.testing.assert_array_equal(np.array(plain[-1]["loss"]),
+                                  np.array(sel[-1]["loss"]))
+    for k in plain[0]:
+        np.testing.assert_array_equal(np.array(plain[0][k]),
+                                      np.array(sel[0][k]))
