@@ -297,12 +297,16 @@ def build_parser():
                          "activation ranges are wrong)")
     pv = sub.add_parser("serve",
                         help="batch inference from a serving artifact "
-                             "(TaskServer.load): offline request-file mode")
+                             "(TaskServer.load): offline request-file mode, "
+                             "or --http-port for the JSON endpoint")
     pv.add_argument("--artifact", required=True,
                     help="directory written by `export` / TaskServer.export")
-    pv.add_argument("--requests", required=True,
+    pv.add_argument("--requests", default=None,
                     help="npz with {x: uint8 NHWC} + either --task-id or a "
                          "per-row {task_ids: int32 (N,)} for mixed routing")
+    pv.add_argument("--http-port", type=int, default=None,
+                    help="serve the HTTP JSON API (server_http.py) on this "
+                         "port instead of scoring a request file; blocks")
     pv.add_argument("--task-id", type=int, default=None)
     pv.add_argument("--out", default=None,
                     help="write logits (+ per-row argmax) to this npz")
@@ -368,6 +372,15 @@ def main(argv=None):
                 "finegrained": A.imagenet_eval_preprocess,
                 "face": A.face_eval_preprocess}[args.experiment]
         srv = TaskServer.load(args.artifact, preprocess_fn=prep)
+        if args.http_port is not None:
+            from .server_http import serve_http
+
+            print(json.dumps({"serving": f"http://127.0.0.1:{args.http_port}",
+                              "tasks": len(srv.state.tasks)}), flush=True)
+            serve_http(srv, port=args.http_port, block=True)
+            return 0
+        if args.requests is None:
+            raise SystemExit("--requests or --http-port is required")
         z = dict(np.load(args.requests))
         x = z["x"]
         if args.task_id is not None:

@@ -1,0 +1,139 @@
+"""Minimal HTTP JSON inference endpoint over a TaskServer.
+
+The reference has no serving story at all (inference = one-shot
+`--mode inference` CLI runs, ref:CPG_*_main*.py); serve.py adds the in-process
+multi-task server, and this module puts a network boundary in front of it —
+stdlib-only (http.server), so it runs in hermetic environments, and threaded
+so concurrent clients queue into the device naturally (JAX dispatch is
+thread-safe; per-task bucketed batching happens inside TaskServer).
+
+Endpoints (JSON):
+  GET  /v1/tasks            -> {task_id: {name, num_classes}}
+  GET  /v1/stats            -> request/image counters, per-task
+  POST /v1/predict          -> {"task_id": t, "inputs": [...]} where inputs is
+                               a nested list (one image, HWC uint8, or a batch
+                               NHWC) -> {"logits": [[...]], "top1": [...]}
+  POST /v1/predict_mixed    -> {"requests": [{"task_id": t, "input": [...]},
+                               ...]} routed per task, answers in order
+
+Usage:
+    srv = TaskServer.load("artifact/", preprocess_fn=...)
+    httpd = serve_http(srv, port=8000)        # returns after bind; threaded
+    ...
+    httpd.shutdown()
+
+or: `python -m cpg_tpu serve --artifact art/ --http-port 8000`.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict
+
+import numpy as np
+
+from .serve import TaskServer
+
+
+def _as_batch(obj, in_shape) -> np.ndarray:
+    """Accept one image (HWC) or a batch (NHWC); return NHWC uint8."""
+    x = np.asarray(obj, dtype=np.uint8)
+    if x.shape == tuple(in_shape):
+        x = x[None]
+    if x.ndim != len(in_shape) + 1 or x.shape[1:] != tuple(in_shape):
+        raise ValueError(f"input shape {x.shape} != (N, {in_shape})")
+    return x
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server: "_Httpd"
+
+    def _reply(self, code: int, payload: Dict):
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):  # quiet; stats endpoint replaces access logs
+        pass
+
+    def do_GET(self):
+        ts = self.server.task_server
+        if self.path == "/v1/tasks":
+            self._reply(200, {str(tid): {"name": t.name,
+                                         "num_classes": t.num_classes}
+                              for tid, t in ts.state.tasks.items()})
+        elif self.path == "/v1/stats":
+            with self.server.lock:
+                self._reply(200, dict(self.server.stats))
+        else:
+            self._reply(404, {"error": f"unknown path {self.path}"})
+
+    def do_POST(self):
+        ts = self.server.task_server
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(n))
+            if self.path == "/v1/predict":
+                tid = int(req["task_id"])
+                x = _as_batch(req["inputs"], ts.in_shape)
+                y = ts.predict(tid, x)
+                out = {"logits": y.tolist(),
+                       "top1": np.argmax(y, -1).tolist()}
+                self._count(tid, len(x))
+            elif self.path == "/v1/predict_mixed":
+                reqs = [(int(r["task_id"]),
+                         _as_batch(r["input"], ts.in_shape)[0])
+                        for r in req["requests"]]
+                ys = ts.predict_mixed(reqs)
+                out = {"results": [{"logits": y.tolist(),
+                                    "top1": int(np.argmax(y))}
+                                   for y in ys]}
+                for tid, _ in reqs:
+                    self._count(tid, 1)
+            else:
+                return self._reply(404, {"error": f"unknown path {self.path}"})
+            self._reply(200, out)
+        except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
+            self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+
+    def _count(self, tid: int, images: int):
+        with self.server.lock:
+            s = self.server.stats
+            s["requests"] = s.get("requests", 0) + 1
+            s["images"] = s.get("images", 0) + images
+            per = s.setdefault("per_task", {})
+            per[str(tid)] = per.get(str(tid), 0) + images
+
+
+class _Httpd(ThreadingHTTPServer):
+    daemon_threads = True
+
+    def __init__(self, addr, task_server: TaskServer):
+        super().__init__(addr, _Handler)
+        self.task_server = task_server
+        self.stats: Dict = {}
+        self.lock = threading.Lock()
+
+
+def serve_http(task_server: TaskServer, port: int = 8000,
+               host: str = "127.0.0.1", block: bool = False) -> _Httpd:
+    """Bind and serve. `block=False` (default) serves from a daemon thread and
+    returns the server (call `.shutdown()` to stop); `block=True` serves in
+    the calling thread until interrupted."""
+    httpd = _Httpd((host, port), task_server)
+    if block:
+        try:
+            httpd.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            httpd.server_close()
+    else:
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+    return httpd

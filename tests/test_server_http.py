@@ -1,0 +1,89 @@
+"""HTTP JSON endpoint over TaskServer: responses must match the in-process
+server exactly; errors are 4xx JSON, stats count traffic."""
+
+import json
+import urllib.error
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cpg_tpu.serve import TaskServer
+from cpg_tpu.server_http import serve_http
+from cpg_tpu.train.manager import Manager
+from cpg_tpu.train.sequence import init_state, start_task
+from cpg_tpu.train.step import TrainConfig
+
+from .helpers import norm_augment, normalize01, synthetic_task, tiny_cnn
+
+
+@pytest.fixture(scope="module")
+def served():
+    d1 = synthetic_task(0)
+    state = init_state("tiny_cnn", jax.random.PRNGKey(0))
+    cfg = TrainConfig(lr=0.05, compute_dtype=jnp.float32)
+    start_task(state, "t1", d1["num_classes"], jax.random.PRNGKey(1))
+    Manager(state, tiny_cnn, 1, d1, cfg, batch_size=32,
+            lr_schedule="constant", augment_fn=norm_augment,
+            preprocess_fn=normalize01).train(epochs=1)
+    srv = TaskServer(state, preprocess_fn=normalize01,
+                     compute_dtype=jnp.float32, min_bucket=8)
+    httpd = serve_http(srv, port=0)  # ephemeral port
+    yield srv, httpd, d1
+    httpd.shutdown()
+
+
+def _call(httpd, path, payload=None):
+    url = f"http://127.0.0.1:{httpd.server_address[1]}{path}"
+    if payload is None:
+        req = urllib.request.Request(url)
+    else:
+        req = urllib.request.Request(
+            url, data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return json.loads(r.read())
+
+
+def test_http_predict_matches_inprocess(served):
+    srv, httpd, d1 = served
+    x = d1["test_x"][:5]
+    got = _call(httpd, "/v1/predict",
+                {"task_id": 1, "inputs": x.tolist()})
+    want = srv.predict(1, x)
+    np.testing.assert_allclose(np.array(got["logits"]), want,
+                               rtol=1e-5, atol=1e-5)
+    assert got["top1"] == np.argmax(want, -1).tolist()
+    # single image (HWC) accepted too
+    one = _call(httpd, "/v1/predict", {"task_id": 1,
+                                       "inputs": x[0].tolist()})
+    np.testing.assert_allclose(np.array(one["logits"]), want[:1],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_http_mixed_tasks_and_stats(served):
+    srv, httpd, d1 = served
+    x = d1["test_x"]
+    out = _call(httpd, "/v1/predict_mixed",
+                {"requests": [{"task_id": 1, "input": x[0].tolist()},
+                              {"task_id": 1, "input": x[1].tolist()}]})
+    want = srv.predict(1, x[:2])
+    for i, r in enumerate(out["results"]):
+        np.testing.assert_allclose(np.array(r["logits"]), want[i],
+                                   rtol=1e-5, atol=1e-5)
+    tasks = _call(httpd, "/v1/tasks")
+    assert tasks["1"]["num_classes"] == d1["num_classes"]
+    stats = _call(httpd, "/v1/stats")
+    assert stats["requests"] >= 1 and stats["per_task"]["1"] >= 2
+
+
+def test_http_errors(served):
+    _, httpd, d1 = served
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _call(httpd, "/v1/predict", {"task_id": 1, "inputs": [[0, 1]]})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _call(httpd, "/v1/nope", {})
+    assert e.value.code == 404
