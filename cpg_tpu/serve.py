@@ -123,6 +123,12 @@ class TaskServer:
         self.cache = cache
         self.max_cached = max_cached
         self.model_fn, self.in_shape = get_model(state.arch)
+        # concurrent clients (server_http.py threads) race on the eff-weight
+        # cache — one lock serializes materialize/evict; the jitted forwards
+        # themselves are thread-safe and dispatch concurrently
+        import threading
+
+        self._cache_lock = threading.Lock()
         # Effective weights per task, selected once and device-cached in the
         # serving dtype: ~half the weight bytes per request vs re-selecting
         # (and zero select/binarize work on the request path).
@@ -162,21 +168,24 @@ class TaskServer:
         if tid not in self._fns:
             self._fns[tid] = self._make_fn(tid)
 
-    def _get_eff(self, tid: int) -> Dict:
-        """Cache lookup honoring the eviction policy."""
-        if tid not in self._eff:
-            if tid not in self.state.tasks:
-                raise KeyError(f"unknown task {tid}")
-            self._materialize(tid)
-        if self.cache == "lru":
-            if tid in self._lru:
-                self._lru.remove(tid)
-            self._lru.append(tid)
-            while len(self._lru) > self.max_cached:
-                ev = self._lru.pop(0)
-                self._eff.pop(ev, None)  # frees the device buffers
-                self._scales.pop(ev, None)  # jitted fns stay (tiny, reusable)
-        return self._eff[tid]
+    def _get_eff(self, tid: int) -> Tuple[Dict, Optional[Dict]]:
+        """Cache lookup honoring the eviction policy (thread-safe). Returns
+        (eff, quant_scales) as one atomic pair — a concurrent eviction must
+        not split a task's int8 weights from their scales."""
+        with self._cache_lock:
+            if tid not in self._eff:
+                if tid not in self.state.tasks:
+                    raise KeyError(f"unknown task {tid}")
+                self._materialize(tid)
+            if self.cache == "lru":
+                if tid in self._lru:
+                    self._lru.remove(tid)
+                self._lru.append(tid)
+                while len(self._lru) > self.max_cached:
+                    ev = self._lru.pop(0)
+                    self._eff.pop(ev, None)  # frees the device buffers
+                    self._scales.pop(ev, None)  # jitted fns stay (reusable)
+            return self._eff[tid], self._scales.get(tid)
 
     def _make_fn(self, tid: int):
         task = self.state.tasks[tid]
@@ -223,8 +232,7 @@ class TaskServer:
                  else {tid: calib for tid in self.state.tasks})
         for tid, x in tasks.items():
             task = self.state.tasks[tid]
-            eff = self._get_eff(tid)
-            scales = self._scales.get(tid)
+            eff, scales = self._get_eff(tid)
             mkw = task.meta.get("model_kwargs") or {}
             stats: Dict[str, float] = {}
             xx = jnp.asarray(np.asarray(x))
@@ -242,8 +250,7 @@ class TaskServer:
     def predict(self, task_id: int, x) -> np.ndarray:
         """Logits for a request batch under one task's view (host in/out)."""
         task = self.state.tasks[task_id]
-        eff = self._get_eff(task_id)
-        scales = self._scales.get(task_id)
+        eff, scales = self._get_eff(task_id)
         x = np.asarray(x)
         n = len(x)
         b = _next_bucket(n, self.min_bucket, self.max_bucket)
@@ -300,8 +307,7 @@ class TaskServer:
                     jnp.zeros((), self.compute_dtype).dtype)),
                 "tasks": {}}
         for tid, task in self.state.tasks.items():
-            eff = self._get_eff(tid)  # lru mode: materialized on demand
-            scales = self._scales.get(tid)
+            eff, scales = self._get_eff(tid)  # lru: materialized on demand
             arrs = {f"eff/{k}": np.asarray(v) for k, v in eff.items()}
             if scales is not None:
                 arrs.update({f"scale/{k}": np.asarray(v)
@@ -335,7 +341,10 @@ class TaskServer:
 
         with open(os.path.join(path, "serving_meta.json")) as f:
             meta = json.load(f)
+        import threading as _threading
+
         srv = cls.__new__(cls)
+        srv._cache_lock = _threading.Lock()
         srv.mesh = mesh
         if mesh is not None:
             min_bucket = max(min_bucket, int(np.prod(

@@ -360,3 +360,40 @@ def test_mesh_server_load_roundtrip(tmp_path):
     np.testing.assert_allclose(srv.predict(1, d1["test_x"][:13]),
                                plain.predict(1, d1["test_x"][:13]),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_mesh_server_int8_matches():
+    from cpg_tpu.parallel.mesh import make_mesh
+
+    state, d1, _ = _two_task_state()
+    plain = TaskServer(state, preprocess_fn=normalize01, quantize="int8",
+                       compute_dtype=jnp.float32, min_bucket=8)
+    meshed = TaskServer(state, preprocess_fn=normalize01, quantize="int8",
+                        compute_dtype=jnp.float32, min_bucket=8,
+                        mesh=make_mesh())
+    np.testing.assert_allclose(meshed.predict(1, d1["test_x"][:13]),
+                               plain.predict(1, d1["test_x"][:13]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_lru_cache_thread_safety():
+    """Concurrent predict() across tasks under an eviction-heavy LRU cache
+    (max_cached=1) must neither crash nor corrupt results."""
+    import concurrent.futures
+
+    state, d1, d2 = _two_task_state()
+    srv = TaskServer(state, preprocess_fn=normalize01,
+                     compute_dtype=jnp.float32, min_bucket=8,
+                     cache="lru", max_cached=1)
+    want = {1: srv.predict(1, d1["test_x"][:8]),
+            2: srv.predict(2, d2["test_x"][:8])}
+
+    def hit(i):
+        tid = 1 + (i % 2)
+        d = d1 if tid == 1 else d2
+        return tid, srv.predict(tid, d["test_x"][:8])
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        for tid, got in ex.map(hit, range(32)):
+            np.testing.assert_allclose(got, want[tid], rtol=1e-5, atol=1e-5)
+    assert len(srv._eff) <= 1
