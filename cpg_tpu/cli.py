@@ -277,6 +277,13 @@ def build_parser():
     ps.add_argument("--checkpoint", required=True)
     ps.add_argument("--per-layer", action="store_true",
                     help="include the per-layer ownership breakdown")
+    pc = sub.add_parser("check",
+                        help="audit a checkpoint against the CPG invariants "
+                             "(core/invariants.py I1-I5); exit 1 if dirty")
+    pc.add_argument("--checkpoint", required=True)
+    pc.add_argument("--allow-transient", action="store_true",
+                    help="skip I2 (zero free weights) — for states saved "
+                         "between grow_state and the next start_task")
     pe = sub.add_parser("export",
                         help="write a standalone serving artifact (see "
                              "cpg_tpu.serve.TaskServer.export)")
@@ -403,6 +410,22 @@ def main(argv=None):
                           "pred_head": pred[:16].tolist(),
                           "out": args.out}))
         return 0
+
+    if args.cmd == "check":
+        # operational audit: run the invariant suite over a checkpoint —
+        # after a crash mid-save, a hand-edited state, or a converter run
+        from .core.invariants import check_state
+        from .utils.checkpoint import load_state
+
+        state = load_state(args.checkpoint)
+        violations = check_state(
+            state, strict=False,
+            expect_zero_free=False if args.allow_transient else None)
+        print(json.dumps({"checkpoint": args.checkpoint,
+                          "arch": state.arch, "num_tasks": state.num_tasks,
+                          "clean": not violations,
+                          "violations": violations}, indent=1))
+        return 1 if violations else 0
 
     if args.cmd == "stats":
         # capacity/ownership report — the reference logs these per run

@@ -121,3 +121,35 @@ def test_cli_end_to_end(tmp_path):
     rec = json.loads(buf.getvalue().strip())
     assert rec["task"] == "aquatic_mammals" and 0.0 <= rec["top1"] <= 1.0
     assert rec["n"] == 50  # full split counted, tail included
+
+
+def test_cli_check_invariants(tmp_path, capsys):
+    """`check` must pass a clean state and flag a corrupted one (exit 1)."""
+    from cpg_tpu.cli import main as cli_main
+    from cpg_tpu.train.sequence import init_state, start_task
+    from cpg_tpu.utils.checkpoint import save_state
+
+    state = init_state("tiny_cnn", jax.random.PRNGKey(0))
+    start_task(state, "a", 4, jax.random.PRNGKey(1))
+    # zero the free weights like the train step would (virgin init holds
+    # kaiming values on FREE entries; I2 activates once a task exists)
+    state.shared = jax.tree.map(
+        lambda w, m: jnp.where(m == 0, 0.0, w), state.shared, state.ownership)
+    clean = str(tmp_path / "clean")
+    save_state(state, clean)
+    assert cli_main(["check", "--checkpoint", clean]) == 0
+    json.loads(capsys.readouterr().out)  # well-formed report
+    # corrupt: release one entry's ownership while its weight is nonzero
+    # -> I2 violation (a released weight MUST be zero)
+    k = next(iter(state.shared))
+    w = np.asarray(state.shared[k]).copy()
+    m = np.asarray(state.ownership[k]).copy()
+    idx = (0,) * w.ndim
+    w[idx], m[idx] = 7.0, 0
+    state.shared[k] = jnp.asarray(w)
+    state.ownership[k] = jnp.asarray(m)
+    dirty = str(tmp_path / "dirty")
+    save_state(state, dirty)
+    assert cli_main(["check", "--checkpoint", dirty]) == 1
+    rep = json.loads(capsys.readouterr().out)
+    assert not rep["clean"] and any("I2" in v for v in rep["violations"])
