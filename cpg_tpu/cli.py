@@ -314,6 +314,10 @@ def build_parser():
     pv.add_argument("--http-port", type=int, default=None,
                     help="serve the HTTP JSON API (server_http.py) on this "
                          "port instead of scoring a request file; blocks")
+    pv.add_argument("--batch-window-ms", type=float, default=0.0,
+                    help="coalesce concurrent same-task HTTP requests that "
+                         "arrive within this window into one device launch "
+                         "(serve.DynamicBatcher); 0 = per-request dispatch")
     pv.add_argument("--task-id", type=int, default=None)
     pv.add_argument("--out", default=None,
                     help="write logits (+ per-row argmax) to this npz")
@@ -384,7 +388,8 @@ def main(argv=None):
 
             print(json.dumps({"serving": f"http://127.0.0.1:{args.http_port}",
                               "tasks": len(srv.state.tasks)}), flush=True)
-            serve_http(srv, port=args.http_port, block=True)
+            serve_http(srv, port=args.http_port, block=True,
+                       batch_window_ms=args.batch_window_ms)
             return 0
         if args.requests is None:
             raise SystemExit("--requests or --http-port is required")

@@ -81,7 +81,8 @@ class _Handler(BaseHTTPRequestHandler):
             if self.path == "/v1/predict":
                 tid = int(req["task_id"])
                 x = _as_batch(req["inputs"], ts.in_shape)
-                y = ts.predict(tid, x)
+                front = self.server.batcher or ts
+                y = front.predict(tid, x)
                 out = {"logits": y.tolist(),
                        "top1": np.argmax(y, -1).tolist()}
                 self._count(tid, len(x))
@@ -113,19 +114,28 @@ class _Handler(BaseHTTPRequestHandler):
 class _Httpd(ThreadingHTTPServer):
     daemon_threads = True
 
-    def __init__(self, addr, task_server: TaskServer):
+    def __init__(self, addr, task_server: TaskServer, batcher=None):
         super().__init__(addr, _Handler)
         self.task_server = task_server
+        self.batcher = batcher
         self.stats: Dict = {}
         self.lock = threading.Lock()
 
 
 def serve_http(task_server: TaskServer, port: int = 8000,
-               host: str = "127.0.0.1", block: bool = False) -> _Httpd:
+               host: str = "127.0.0.1", block: bool = False,
+               batch_window_ms: float = 0.0) -> _Httpd:
     """Bind and serve. `block=False` (default) serves from a daemon thread and
     returns the server (call `.shutdown()` to stop); `block=True` serves in
-    the calling thread until interrupted."""
-    httpd = _Httpd((host, port), task_server)
+    the calling thread until interrupted. `batch_window_ms > 0` coalesces
+    concurrent /v1/predict requests for the same task into one device launch
+    (serve.DynamicBatcher)."""
+    batcher = None
+    if batch_window_ms and batch_window_ms > 0:
+        from .serve import DynamicBatcher
+
+        batcher = DynamicBatcher(task_server, max_delay_ms=batch_window_ms)
+    httpd = _Httpd((host, port), task_server, batcher)
     if block:
         try:
             httpd.serve_forever()

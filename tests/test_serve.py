@@ -397,3 +397,57 @@ def test_lru_cache_thread_safety():
         for tid, got in ex.map(hit, range(32)):
             np.testing.assert_allclose(got, want[tid], rtol=1e-5, atol=1e-5)
     assert len(srv._eff) <= 1
+
+
+def test_dynamic_batcher_coalesces_and_matches():
+    """Concurrent single-image submits within the window must produce (a)
+    logits identical to direct predict, (b) FEWER device launches than
+    requests."""
+    import concurrent.futures
+
+    from cpg_tpu.serve import DynamicBatcher
+
+    state, d1, _ = _two_task_state()
+    srv = TaskServer(state, preprocess_fn=normalize01,
+                     compute_dtype=jnp.float32, min_bucket=8)
+    want = srv.predict(1, d1["test_x"][:8])
+
+    calls = []
+    real = srv.predict
+    srv.predict = lambda tid, x: (calls.append(len(x)), real(tid, x))[1]
+    batcher = DynamicBatcher(srv, max_delay_ms=250)
+    try:
+        # warm the worker thread with one request outside the measurement
+        batcher.predict(1, d1["test_x"][0])
+        calls.clear()
+        with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+            futs = [ex.submit(batcher.predict, 1, d1["test_x"][i])
+                    for i in range(8)]
+            outs = [f.result(timeout=60) for f in futs]
+        for i, y in enumerate(outs):
+            np.testing.assert_allclose(y[0], want[i], rtol=1e-5, atol=1e-5)
+        assert len(calls) < 8, calls  # coalesced (usually 1-2 launches)
+        assert sum(calls) == 8
+    finally:
+        srv.predict = real
+        batcher.close()
+
+
+def test_dynamic_batcher_propagates_errors():
+    from cpg_tpu.serve import DynamicBatcher
+
+    state, d1, _ = _two_task_state()
+    srv = TaskServer(state, preprocess_fn=normalize01,
+                     compute_dtype=jnp.float32, min_bucket=8)
+    batcher = DynamicBatcher(srv, max_delay_ms=1)
+    try:
+        import pytest
+
+        with pytest.raises(KeyError):
+            batcher.predict(99, d1["test_x"][0])  # unknown task
+        # a bad shape fails inside the worker; future must carry it
+        fut = batcher.submit(1, np.zeros((2, 5), np.uint8))
+        with pytest.raises(Exception):
+            fut.result(timeout=30)
+    finally:
+        batcher.close()
