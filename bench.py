@@ -105,9 +105,36 @@ def _time_step(arch, cfg, batch, warmup, iters, num_classes=5,
     return 1e3 * dt / iters, bytes_accessed
 
 
+def _probe_backend(timeout_s: float = 180.0) -> bool:
+    """Fail fast when the TPU relay is wedged: jax.devices() on a dead axon
+    relay hangs FOREVER (observed r3: hours), which would hang the whole
+    bench run. Probe in a subprocess with a timeout; on failure print a
+    diagnostic JSON line and let the caller exit nonzero."""
+    import subprocess
+    import sys
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, check=True, capture_output=True)
+        return True
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+        print(json.dumps({
+            "metric": "images_per_sec_per_chip_masked_vgg16_train",
+            "value": None, "unit": "images/sec/chip", "vs_baseline": None,
+            "error": f"backend unreachable: {type(e).__name__} "
+                     f"(axon relay outage — see CLAUDE.md); bench aborted "
+                     f"after {timeout_s:.0f}s probe instead of hanging",
+        }))
+        return False
+
+
 def main():
     from cpg_tpu.data.augment import cifar_train_augment, face_train_augment
     from cpg_tpu.train.step import TrainConfig
+
+    if not _probe_backend():
+        raise SystemExit(2)
 
     # headline config carries the measured-winning scoped-VMEM budget
     # (perf_r3: 123.0 vs 128.9 ms at b8192, +4.7%; RESULTS.md round 3)

@@ -74,7 +74,10 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(404, {"error": f"unknown path {self.path}"})
 
     def do_POST(self):
+        import time
+
         ts = self.server.task_server
+        t0 = time.perf_counter()
         try:
             n = int(self.headers.get("Content-Length", 0))
             req = json.loads(self.rfile.read(n))
@@ -85,7 +88,7 @@ class _Handler(BaseHTTPRequestHandler):
                 y = front.predict(tid, x)
                 out = {"logits": y.tolist(),
                        "top1": np.argmax(y, -1).tolist()}
-                self._count(tid, len(x))
+                self._count(tid, len(x), time.perf_counter() - t0)
             elif self.path == "/v1/predict_mixed":
                 reqs = [(int(r["task_id"]),
                          _as_batch(r["input"], ts.in_shape)[0])
@@ -94,21 +97,28 @@ class _Handler(BaseHTTPRequestHandler):
                 out = {"results": [{"logits": y.tolist(),
                                     "top1": int(np.argmax(y))}
                                    for y in ys]}
+                dt = time.perf_counter() - t0
                 for tid, _ in reqs:
-                    self._count(tid, 1)
+                    self._count(tid, 1, dt / max(len(reqs), 1))
             else:
                 return self._reply(404, {"error": f"unknown path {self.path}"})
             self._reply(200, out)
         except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
             self._reply(400, {"error": f"{type(e).__name__}: {e}"})
 
-    def _count(self, tid: int, images: int):
+    def _count(self, tid: int, images: int, secs: float = 0.0):
         with self.server.lock:
             s = self.server.stats
             s["requests"] = s.get("requests", 0) + 1
             s["images"] = s.get("images", 0) + images
             per = s.setdefault("per_task", {})
             per[str(tid)] = per.get(str(tid), 0) + images
+            ms = secs * 1e3
+            lat = s.setdefault("latency_ms", {"count": 0, "avg": 0.0,
+                                              "max": 0.0})
+            lat["count"] += 1
+            lat["avg"] += (ms - lat["avg"]) / lat["count"]
+            lat["max"] = max(lat["max"], ms)
 
 
 class _Httpd(ThreadingHTTPServer):

@@ -87,3 +87,11 @@ def test_http_errors(served):
     with pytest.raises(urllib.error.HTTPError) as e:
         _call(httpd, "/v1/nope", {})
     assert e.value.code == 404
+
+
+def test_http_latency_stats(served):
+    _, httpd, d1 = served
+    _call(httpd, "/v1/predict", {"task_id": 1,
+                                 "inputs": d1["test_x"][:2].tolist()})
+    lat = _call(httpd, "/v1/stats")["latency_ms"]
+    assert lat["count"] >= 1 and lat["max"] >= lat["avg"] > 0
