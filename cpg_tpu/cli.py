@@ -324,6 +324,10 @@ def build_parser():
     pv.add_argument("--experiment", default="cifar100",
                     choices=["cifar100", "finegrained", "face"],
                     help="selects the eval preprocess fn for the artifact")
+    pv.add_argument("--scoped-vmem-kib", type=int, default=None,
+                    help="xla_tpu_scoped_vmem_limit_kib for the request-path "
+                         "executables (the +4.7%% training-step lever; same "
+                         "surface as TrainConfig.compiler_options)")
     return parser
 
 
@@ -382,7 +386,10 @@ def main(argv=None):
         prep = {"cifar100": A.cifar_eval_preprocess,
                 "finegrained": A.imagenet_eval_preprocess,
                 "face": A.face_eval_preprocess}[args.experiment]
-        srv = TaskServer.load(args.artifact, preprocess_fn=prep)
+        co = ({"xla_tpu_scoped_vmem_limit_kib": str(args.scoped_vmem_kib)}
+              if args.scoped_vmem_kib else None)
+        srv = TaskServer.load(args.artifact, preprocess_fn=prep,
+                              compiler_options=co)
         if args.http_port is not None:
             from .server_http import serve_http
 

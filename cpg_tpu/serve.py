@@ -67,7 +67,8 @@ class TaskServer:
                  compute_dtype=jnp.bfloat16, min_bucket: int = 8,
                  max_bucket: int = 1024, quantize: Optional[str] = None,
                  cache: str = "precompute", max_cached: int = 4,
-                 mesh: Optional[jax.sharding.Mesh] = None):
+                 mesh: Optional[jax.sharding.Mesh] = None,
+                 compiler_options: Optional[Dict[str, str]] = None):
         """`quantize="int8"`: post-training quantization of the cached
         effective weights — per-output-channel symmetric scales, dynamic
         per-tensor activation scales, int8 MXU convs/matmuls (measured 1.32x
@@ -106,6 +107,9 @@ class TaskServer:
         if cache not in ("precompute", "lru"):
             raise ValueError(f"unsupported cache={cache!r}")
         self.mesh = mesh
+        # per-executable XLA options for the request-path forwards (same
+        # surface as TrainConfig.compiler_options, e.g. scoped-VMEM budget)
+        self.compiler_options = compiler_options
         if mesh is not None:
             n = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
             # buckets stay powers of two; just raise the floor to the mesh
@@ -205,14 +209,15 @@ class TaskServer:
                                  **mkw)
             return logits[0] if isinstance(logits, tuple) else logits
 
+        co = getattr(self, "compiler_options", None)
         if self.mesh is None:
-            return jax.jit(fn)
+            return jax.jit(fn, compiler_options=co)
         from jax.sharding import NamedSharding, PartitionSpec
 
         rep = NamedSharding(self.mesh, PartitionSpec())
         xsh = NamedSharding(self.mesh, PartitionSpec(self.mesh.axis_names))
         return jax.jit(fn, in_shardings=(rep, rep, rep, rep, rep, xsh),
-                       out_shardings=xsh)
+                       out_shardings=xsh, compiler_options=co)
 
     def calibrate(self, calib, margin: float = 1.0) -> Dict[int, Dict]:
         """Fix STATIC per-layer activation scales from a calibration set —
@@ -322,10 +327,18 @@ class TaskServer:
                          for k, v in task.private.items()})
             arrs.update({f"bn/{k}": np.asarray(v)
                          for k, v in task.bn_state.items()})
+            # np.savez writes bfloat16 as a raw void dtype (|V2) that
+            # np.load cannot hand back to JAX — store those as uint16 bit
+            # patterns and record which keys to view back on load
+            bf16_keys = [k for k, a in arrs.items()
+                         if a.dtype == jnp.bfloat16.dtype]
+            for k in bf16_keys:
+                arrs[k] = arrs[k].view(np.uint16)
             np.savez(os.path.join(path, f"task{tid:02d}.npz"), **arrs)
             meta["tasks"][str(tid)] = {
                 "name": task.name, "num_classes": task.num_classes,
                 "model_kwargs": task.meta.get("model_kwargs") or {},
+                "bf16_keys": bf16_keys,
             }
         with open(os.path.join(path, "serving_meta.json"), "w") as f:
             json.dump(meta, f, indent=1)
@@ -334,7 +347,9 @@ class TaskServer:
     @classmethod
     def load(cls, path: str, preprocess_fn: Optional[Callable] = None,
              min_bucket: int = 8, max_bucket: int = 1024,
-             mesh: Optional[jax.sharding.Mesh] = None) -> "TaskServer":
+             mesh: Optional[jax.sharding.Mesh] = None,
+             compiler_options: Optional[Dict[str, str]] = None
+             ) -> "TaskServer":
         """Reconstruct a server from an `export()` artifact (no training
         state required — builds a minimal frozen CPGState shell)."""
         import json
@@ -349,6 +364,7 @@ class TaskServer:
         srv = cls.__new__(cls)
         srv._cache_lock = _threading.Lock()
         srv.mesh = mesh
+        srv.compiler_options = compiler_options
         if mesh is not None:
             min_bucket = max(min_bucket, int(np.prod(
                 [mesh.shape[a] for a in mesh.axis_names])))
@@ -366,8 +382,13 @@ class TaskServer:
         for tid_s, tm in meta["tasks"].items():
             tid = int(tid_s)
             z = np.load(os.path.join(path, f"task{tid:02d}.npz"))
-            pick = lambda pre: {k[len(pre):]: jnp.asarray(z[k])
-                                for k in z.files if k.startswith(pre)}
+            bf16 = set(tm.get("bf16_keys") or ())
+
+            def pick(pre, _z=z, _bf16=bf16):
+                return {k[len(pre):]: jnp.asarray(
+                            _z[k].view(jnp.bfloat16.dtype) if k in _bf16
+                            else _z[k])
+                        for k in _z.files if k.startswith(pre)}
             srv._eff[tid] = pick("eff/")
             sc = pick("scale/")
             srv._scales[tid] = sc or None
