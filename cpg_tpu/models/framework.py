@@ -107,6 +107,11 @@ class Ctx:
     # each layer's observed activation scale (max over calls) into it —
     # used EAGERLY by TaskServer.calibrate, never under jit.
     act_stats: Optional[Dict[str, float]] = None
+    # fuse BN+ReLU+conv3x3 chains into the VMEM-resident Pallas kernel
+    # (ops/pallas/fused_chain.py): the normalized activation between adjacent
+    # convs never touches HBM. Honored by fused_bn_relu_sconv call sites
+    # (VGG); ignored during init and under int8 serving.
+    fused_chain: bool = False
 
     # -- param accessors ----------------------------------------------------
     def shared_param(self, name, shape, init_fn):
@@ -302,15 +307,11 @@ BN_MOMENTUM = 0.1  # torch default: running = (1-m)*running + m*batch
 BN_EPS = 1e-5
 
 
-def batchnorm(ctx: Ctx, name: str, x: jax.Array) -> jax.Array:
-    """BatchNorm with task-private affine AND task-private running stats
-    (ref: `shared_layer_info[dataset]['bn_layer_running_mean'/...]`).
-
-    TPU note: batch stats use the one-pass form E[x^2] - mean^2 (f32
-    accumulation) so XLA fuses BOTH reductions into a single read of the
-    activation — the textbook two-pass mean-then-var costs one extra
-    activation sweep per BN per step (profiled at ~0.15-0.25 ms each on the
-    VGG16 step, 13 BNs). The normalize stays f32 math on bf16 reads."""
+def _bn_moments(ctx: Ctx, name: str, x: jax.Array):
+    """Shared BN machinery: register affine+running params, compute the
+    normalization (mean, var) for this call (batch stats in train, running
+    in eval), and record the running-stat updates. Returns
+    (mean, var, scale, bias)."""
     c = x.shape[-1]
     scale = ctx.private_param(f"{name}/scale", (c,), lambda r, s: jnp.ones(s))
     bias = ctx.private_param(f"{name}/bias", (c,), lambda r, s: jnp.zeros(s))
@@ -332,9 +333,61 @@ def batchnorm(ctx: Ctx, name: str, x: jax.Array) -> jax.Array:
         mean, var = rmean, rvar
         ctx.new_bn_state[name + "/mean"] = rmean
         ctx.new_bn_state[name + "/var"] = rvar
+    return mean, var, scale, bias
+
+
+def batchnorm(ctx: Ctx, name: str, x: jax.Array) -> jax.Array:
+    """BatchNorm with task-private affine AND task-private running stats
+    (ref: `shared_layer_info[dataset]['bn_layer_running_mean'/...]`).
+
+    TPU note: batch stats use the one-pass form E[x^2] - mean^2 (f32
+    accumulation) so XLA fuses BOTH reductions into a single read of the
+    activation — the textbook two-pass mean-then-var costs one extra
+    activation sweep per BN per step (profiled at ~0.15-0.25 ms each on the
+    VGG16 step, 13 BNs). The normalize stays f32 math on bf16 reads."""
+    mean, var, scale, bias = _bn_moments(ctx, name, x)
     inv = jax.lax.rsqrt(var + BN_EPS)
     y = (x.astype(jnp.float32) - mean) * inv * scale + bias
     return y.astype(x.dtype if x.dtype != jnp.float32 else jnp.float32)
+
+
+def batchnorm_affine(ctx: Ctx, name: str, x: jax.Array):
+    """BN folded to a per-channel affine (a, b) with BN(x) = a*x + b —
+    identical stats/running-update semantics to `batchnorm` (same param
+    names, same one-pass moments), but the normalized tensor is NOT
+    materialized: the affine feeds ops/pallas/fused_chain so the activation
+    stays in VMEM. Gradients through train-mode batch stats flow via the
+    a(x), b(x) closures."""
+    mean, var, scale, bias = _bn_moments(ctx, name, x)
+    a = jax.lax.rsqrt(var + BN_EPS) * scale
+    return a, bias - mean * a
+
+
+def fused_bn_relu_sconv(ctx: Ctx, bn_name: str, conv_name: str, x: jax.Array,
+                        features: int) -> jax.Array:
+    """conv3x3(relu(BN(x))) — the cross-layer chain. Under
+    `ctx.fused_chain` (and outside init / int8 serving) this runs the
+    VMEM-resident Pallas kernel: BN folds to an affine, and the
+    normalized/ReLU'd activation between the two convs never touches HBM
+    (the boundary write+read XLA cannot elide). Otherwise it is EXACTLY the
+    unfused composition — same param names, same registration order, same
+    numerics — so checkpoints and goldens are path-independent."""
+    fused = (ctx.fused_chain and ctx.mode != "init"
+             and ctx.quant_scales is None)
+    if not fused:
+        return sconv(ctx, conv_name, relu(batchnorm(ctx, bn_name, x)),
+                     features, kernel=3, stride=1, padding="SAME")
+    from ..ops.pallas.fused_chain import fused_affine_relu_conv
+
+    a, b = batchnorm_affine(ctx, bn_name, x)
+    key = f"{conv_name}/kernel"
+    w = ctx.shared_param(key, (3, 3, x.shape[-1], features),
+                         he_normal_fan_out)
+    if ctx.masking is not None:
+        w = ctx.masked_weight(key, w)
+    y = fused_affine_relu_conv(x, a, b, w, ctx.compute_dtype)
+    # same residual tag as sconv (TrainConfig.remat_policy='convs')
+    return checkpoint_name(y, "sconv_out")
 
 
 def prelu(ctx: Ctx, name: str, x: jax.Array) -> jax.Array:
@@ -405,6 +458,7 @@ def apply(
     quant_scales: Optional[Dict] = None,
     act_scales: Optional[Dict] = None,
     act_stats: Optional[Dict] = None,
+    fused_chain: bool = False,
     **kwargs,
 ):
     """Run the model. With `masking=None` (default), `shared` must hold
@@ -413,7 +467,8 @@ def apply(
     With `quant_scales` (serve.py int8 path), `shared` holds int8 kernels;
     `act_scales` swaps its dynamic activation scales for calibrated static
     ones and `act_stats` (a plain dict, EAGER calls only) collects observed
-    scales for TaskServer.calibrate."""
+    scales for TaskServer.calibrate. `fused_chain` routes BN+ReLU+conv3x3
+    chains through the VMEM-resident Pallas kernel (fused_bn_relu_sconv)."""
     ctx = Ctx(
         mode="apply",
         train=train,
@@ -425,6 +480,7 @@ def apply(
         quant_scales=quant_scales,
         act_scales=act_scales,
         act_stats=act_stats,
+        fused_chain=fused_chain,
     )
     out = model_fn(ctx, x, **kwargs)
     return out, ctx.new_bn_state

@@ -61,6 +61,12 @@ class TrainConfig:
                          # patches). NOTE: im2col inflates activation traffic
                          # ~k^2 x; XLA's native conv usually wins — measure
                          # (bench.py ablation) before enabling
+    use_fused_chain: bool = False  # route BN+ReLU+conv3x3 chains through the
+                         # VMEM-resident Pallas kernel (ops/pallas/
+                         # fused_chain.py): the normalized activation between
+                         # adjacent convs never touches HBM. VGG-only call
+                         # sites; orthogonal to use_pallas/use_pallas_conv
+                         # (which fuse the MASK into the op — don't combine).
     compiler_options: Optional[Dict[str, str]] = None  # per-executable XLA
                          # options for the jitted steps, e.g.
                          # {"xla_tpu_scoped_vmem_limit_kib": "65536"} — a
@@ -133,6 +139,7 @@ def build_train_step(
         return fw.apply(
             model_fn, params, private, bn_state, x, train=True,
             compute_dtype=cfg.compute_dtype, masking=masking,
+            fused_chain=cfg.use_fused_chain,
             num_classes=num_classes, mult=mult, **model_kwargs,
         )
 
@@ -253,6 +260,7 @@ def build_eval_step(
         logits, _ = fw.apply(
             model_fn, eff, private, bn_state, x, train=False,
             compute_dtype=cfg.compute_dtype, masking=masking,
+            fused_chain=cfg.use_fused_chain,
             num_classes=num_classes, mult=mult,
             **model_kwargs,
         )
