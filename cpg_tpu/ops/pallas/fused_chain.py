@@ -143,7 +143,11 @@ def _supported(x, w):
     n, h, ww, c = x.shape
     return (kh == 3 and kw == 3 and c == cin
             # flattened rows must be sublane-friendly and rolls in-bounds
-            and h >= 3 and ww >= 3 and n * h * ww >= 2 * (ww + 1))
+            and h >= 3 and ww >= 3 and n * h * ww >= 2 * (ww + 1)
+            # the resident (9C, Cout) weight (and the backward's f32 dW
+            # accumulator) must leave VMEM room for the tiles — grown widths
+            # beyond ~512x512 fall back to XLA
+            and 9 * cin * cout * 2 <= 6 * 1024 * 1024)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -170,13 +174,147 @@ def _fused_fwd(x, a, b, w, dot_name):
     return _fused_op(x, a, b, w, dot_name), (x, a, b, w)
 
 
-def _fused_bwd(dot_name, res, g):
+# --------------------------------------------------------------------------
+# fused backward: dx/da/db in one kernel, dW in another — the normalized
+# activation is recomputed in VMEM from x (elementwise) instead of being
+# materialized in HBM, mirroring the forward's traffic story.
+#
+# With S_k = mask_k . roll(-off_k) the forward is y = sum_k S_k(act) @ W_k,
+# so  dact = sum_k roll(+off_k, mask_k . (g @ W_k^T))        (dx kernel)
+#     dW_k = act^T @ roll(+off_k, mask_k . g)                (dw kernel)
+# and dx = dact * a * 1[pre>0], da = sum dact*1[.]*x, db = sum dact*1[.].
+# --------------------------------------------------------------------------
+
+
+def _bwd_dx_kernel(x_ref, g_ref, a_ref, b_ref, w_ref, dx_ref, da_ref, db_ref,
+                   *, tb, h, w, cin, cout, dot_dtype, nb):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        da_ref[:] = jnp.zeros_like(da_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    m = tb * h * w
+    xf = x_ref[:].reshape(m, cin).astype(jnp.float32)
+    pre = xf * a_ref[:] + b_ref[:]
+    g2 = g_ref[:].reshape(m, cout).astype(dot_dtype)
+    r = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    hh = (r // w) % h
+    ww = r % w
+    dact = jnp.zeros((m, cin), jnp.float32)
+    for k, (dy, dx_) in enumerate(_OFFSETS):
+        off = dy * w + dx_
+        u = jax.lax.dot_general(
+            g2, w_ref[k * cin:(k + 1) * cin, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        valid = ((hh + dy >= 0) & (hh + dy < h)
+                 & (ww + dx_ >= 0) & (ww + dx_ < w))
+        u = jnp.where(valid, u, 0.0)
+        dact = dact + (u if off == 0 else _roll0(u, off % m))
+    dmasked = jnp.where(pre > 0, dact, 0.0)
+    dx_ref[:] = (dmasked * a_ref[:]).reshape(tb, h, w, cin).astype(
+        dx_ref.dtype)
+    da_ref[:] += jnp.sum(dmasked * xf, axis=0, keepdims=True)
+    db_ref[:] += jnp.sum(dmasked, axis=0, keepdims=True)
+
+
+def _bwd_dw_kernel(x_ref, g_ref, a_ref, b_ref, dw_ref, *, tb, h, w, cin,
+                   cout, dot_dtype, nb):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    m = tb * h * w
+    xf = x_ref[:].reshape(m, cin).astype(jnp.float32)
+    act = jnp.maximum(xf * a_ref[:] + b_ref[:], 0.0).astype(dot_dtype)
+    g2 = g_ref[:].reshape(m, cout).astype(dot_dtype)
+    r = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    hh = (r // w) % h
+    ww = r % w
+    for k, (dy, dx_) in enumerate(_OFFSETS):
+        off = dy * w + dx_
+        valid = ((hh + dy >= 0) & (hh + dy < h)
+                 & (ww + dx_ >= 0) & (ww + dx_ < w))
+        gm = jnp.where(valid, g2, jnp.zeros((), dot_dtype))
+        gm = gm if off == 0 else _roll0(gm, off % m)
+        dw_ref[k * cin:(k + 1) * cin, :] += jax.lax.dot_general(
+            act, gm, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+def _bwd_pallas(x, a, b, w, g, dot_dtype):
+    n, h, ww, cin = x.shape
+    cout = w.shape[-1]
+    # dx kernel budget: x/g/act tiles + f32 dact + the (9C, Cout) weight
+    tb = _pick_tb(n, h, ww, cin, cout,
+                  budget=10 * 1024 * 1024 - 18 * cin * cout)
+    w2 = w.reshape(9 * cin, cout).astype(dot_dtype)
+    a2 = a.reshape(1, cin).astype(jnp.float32)
+    b2 = b.reshape(1, cin).astype(jnp.float32)
+    nb = n // tb
+    dx, da, db = pl.pallas_call(
+        functools.partial(_bwd_dx_kernel, tb=tb, h=h, w=ww, cin=cin,
+                          cout=cout, dot_dtype=dot_dtype, nb=nb),
+        grid_spec=pl.GridSpec(
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((tb, h, ww, cin), lambda i: (i, 0, 0, 0)),
+                pl.BlockSpec((tb, h, ww, cout), lambda i: (i, 0, 0, 0)),
+                pl.BlockSpec((1, cin), lambda i: (0, 0)),
+                pl.BlockSpec((1, cin), lambda i: (0, 0)),
+                pl.BlockSpec((9 * cin, cout), lambda i: (0, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((tb, h, ww, cin), lambda i: (i, 0, 0, 0)),
+                pl.BlockSpec((1, cin), lambda i: (0, 0)),
+                pl.BlockSpec((1, cin), lambda i: (0, 0)),
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, h, ww, cin), x.dtype),
+            jax.ShapeDtypeStruct((1, cin), jnp.float32),
+            jax.ShapeDtypeStruct((1, cin), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),  # da/db accumulate across i
+        ),
+        interpret=_interpret(),
+    )(x, g, a2, b2, w2)
+    # dW in its own pass: its (9C, Cout) f32 accumulator is the VMEM budget
+    tbw = _pick_tb(n, h, ww, cin, cout,
+                   budget=max(2 * 1024 * 1024,
+                              12 * 1024 * 1024 - 36 * cin * cout))
+    dw = pl.pallas_call(
+        functools.partial(_bwd_dw_kernel, tb=tbw, h=h, w=ww, cin=cin,
+                          cout=cout, dot_dtype=dot_dtype, nb=n // tbw),
+        grid_spec=pl.GridSpec(
+            grid=(n // tbw,),
+            in_specs=[
+                pl.BlockSpec((tbw, h, ww, cin), lambda i: (i, 0, 0, 0)),
+                pl.BlockSpec((tbw, h, ww, cout), lambda i: (i, 0, 0, 0)),
+                pl.BlockSpec((1, cin), lambda i: (0, 0)),
+                pl.BlockSpec((1, cin), lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((9 * cin, cout), lambda i: (0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((9 * cin, cout), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),  # dW accumulates across i
+        ),
+        interpret=_interpret(),
+    )(x, g, a2, b2)
+    return (dx, da.reshape(cin), db.reshape(cin),
+            dw.reshape(3, 3, cin, cout))
+
+
+def _fused_bwd_xla(dot_dtype, x, a, b, w, g):
     """XLA backward: recompute the (cheap, elementwise) pre-activation for
     the ReLU mask; transposed convs for dact/dw. The activation IS
-    materialized here — phase 1 trades only the forward boundary traffic;
-    fully-fused backward kernels are the measured next step."""
-    dot_dtype = jnp.dtype(dot_name)
-    x, a, b, w = res
+    materialized here — fallback for shapes the Pallas kernels skip."""
     pre = x.astype(jnp.float32) * a + b
     mask = pre > 0
     act = jnp.where(mask, pre, 0.0).astype(dot_dtype)
@@ -200,6 +338,21 @@ def _fused_bwd(dot_name, res, g):
     da = jnp.sum(dmasked * x.astype(jnp.float32), axis=(0, 1, 2))
     db = jnp.sum(dmasked, axis=(0, 1, 2))
     return dx, da.astype(a.dtype), db.astype(b.dtype), dw.astype(w.dtype)
+
+
+# flip to False to A/B the XLA fallback backward (perf scripts); the Pallas
+# path recomputes the activation in VMEM instead of materializing it in HBM
+BWD_PALLAS = True
+
+
+def _fused_bwd(dot_name, res, g):
+    x, a, b, w = res
+    dot_dtype = jnp.dtype(dot_name)
+    if BWD_PALLAS and _supported(x, w):
+        dx, da, db, dw = _bwd_pallas(x, a, b, w, g, dot_dtype)
+        return (dx, da.astype(a.dtype), db.astype(b.dtype),
+                dw.astype(w.dtype))
+    return _fused_bwd_xla(dot_dtype, x, a, b, w, g)
 
 
 _fused_op.defvjp(_fused_fwd, _fused_bwd)

@@ -138,7 +138,12 @@ def main():
     if what in ("micro", "all"):
         out["micro"] = micro()
     if what in ("step", "all"):
-        for name, fused in (("step_default", False), ("step_fused", True)):
+        import cpg_tpu.ops.pallas.fused_chain as fc
+
+        for name, fused, bwd in (("step_default", False, True),
+                                 ("step_fused", True, True),
+                                 ("step_fused_xla_bwd", True, False)):
+            fc.BWD_PALLAS = bwd
             try:
                 ms, by = step_bench(fused=fused)
                 out[name] = {"ms": round(ms, 2),
@@ -147,6 +152,7 @@ def main():
             except Exception as e:
                 out[name] = f"failed: {type(e).__name__}: {str(e)[:300]}"
             print(json.dumps({name: out[name]}), flush=True)
+        fc.BWD_PALLAS = True
     print(json.dumps({"summary": out}))
 
 

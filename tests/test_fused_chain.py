@@ -107,3 +107,30 @@ def test_pick_tb_divides_and_fits():
     tb = _pick_tb(8192, 32, 32, 64, 64)
     per_img = 32 * 32 * (64 * 6 + 64 * 6)
     assert tb * per_img <= 8 * 1024 * 1024
+
+
+def test_xla_fallback_backward_matches():
+    """The XLA backward (BWD_PALLAS=False) and the fused Pallas backward
+    agree with each other and with autodiff of the oracle."""
+    import cpg_tpu.ops.pallas.fused_chain as fc
+
+    x, a, b, wt = _mk(2, 6, 6, 8, 12, seed=11)
+    g_ref = jax.random.normal(jax.random.PRNGKey(2), (2, 6, 6, 12))
+
+    def loss(x, a, b, wt):
+        return jnp.sum(fused_affine_relu_conv(x, a, b, wt, jnp.float32)
+                       * g_ref)
+
+    want = jax.grad(lambda *A: jnp.sum(fused_oracle(*A, jnp.float32) * g_ref),
+                    argnums=(0, 1, 2, 3))(x, a, b, wt)
+    for flag in (True, False):
+        old = fc.BWD_PALLAS
+        fc.BWD_PALLAS = flag
+        try:
+            got = jax.grad(loss, argnums=(0, 1, 2, 3))(x, a, b, wt)
+        finally:
+            fc.BWD_PALLAS = old
+        for gi, wi, name in zip(got, want, "x a b w".split()):
+            np.testing.assert_allclose(
+                np.asarray(gi), np.asarray(wi), rtol=2e-4, atol=2e-4,
+                err_msg=f"bwd_pallas={flag} d{name}")
