@@ -147,6 +147,7 @@ def _train_cfg(args):
         lr=args.lr, lr_mask=args.lr_mask, weight_decay=args.weight_decay,
         label_smoothing=args.label_smoothing,
         use_pallas=args.use_pallas, use_pallas_conv=args.use_pallas_conv,
+        use_fused_chain=args.fused_chain,
         remat=args.remat, remat_policy=args.remat_policy,
         compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16"
         else jnp.float32,
@@ -186,6 +187,10 @@ def _add_common(p):
     p.add_argument("--use-pallas-conv", action="store_true",
                    help="fused Pallas masked conv (implicit GEMM); measure "
                         "first — XLA native convs usually win on TPU")
+    p.add_argument("--fused-chain", action="store_true",
+                   help="VMEM-resident fused BN+ReLU+conv3x3 chain (Pallas) "
+                        "at the VGG chained-conv sites; fwd AND bwd keep the "
+                        "inter-conv activation out of HBM")
     p.add_argument("--remat", action="store_true",
                    help="full forward remat (recompute EVERYTHING in "
                         "backward; measured slower on VGG/ResNet at bench "

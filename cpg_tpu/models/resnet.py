@@ -15,7 +15,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .framework import Ctx, batchnorm, head, relu, sconv
+from .framework import (Ctx, batchnorm, fused_bn_relu_sconv, head, relu,
+                        sconv)
 from .vgg import scale_channels
 
 # (blocks, base planes) per stage — ResNet-50: 3,4,6,3 bottlenecks
@@ -35,11 +36,19 @@ def _bottleneck(ctx: Ctx, name: str, x, planes: int, stride: int):
     cout = planes * EXPANSION
     identity = x
     y = sconv(ctx, f"{name}/conv1", x, planes, kernel=1)
-    y = relu(batchnorm(ctx, f"{name}/bn1", y))
-    # explicit pad 1 == torch Conv2d(padding=1); XLA "SAME" would pad (0,1)
-    # at stride 2 and sample a shifted grid vs the reference weights
-    y = sconv(ctx, f"{name}/conv2", y, planes, kernel=3, stride=stride,
-              padding=1)
+    if stride == 1:
+        # pad 1 == SAME at stride 1, so the non-downsampling 3x3 is the same
+        # BN+ReLU+conv chain as VGG's intra-block boundary: under
+        # Ctx.fused_chain the normalized activation stays in VMEM
+        # (ops/pallas/fused_chain.py); param names/order are identical
+        y = fused_bn_relu_sconv(ctx, f"{name}/bn1", f"{name}/conv2", y,
+                                planes)
+    else:
+        y = relu(batchnorm(ctx, f"{name}/bn1", y))
+        # explicit pad 1 == torch Conv2d(padding=1); XLA "SAME" would pad
+        # (0,1) at stride 2 and sample a shifted grid vs the ref weights
+        y = sconv(ctx, f"{name}/conv2", y, planes, kernel=3, stride=stride,
+                  padding=1)
     y = relu(batchnorm(ctx, f"{name}/bn2", y))
     y = sconv(ctx, f"{name}/conv3", y, cout, kernel=1)
     y = batchnorm(ctx, f"{name}/bn3", y)

@@ -82,21 +82,24 @@ def micro(iters=20):
     return out
 
 
-def step_bench(batch=8192, warmup=4, iters=8, fused=False):
+def step_bench(batch=8192, warmup=4, iters=8, fused=False,
+               arch="vgg16_bn_cifar", remat_policy=None):
     import __graft_entry__ as ge
-    from cpg_tpu.data.augment import cifar_train_augment
+    from cpg_tpu.data.augment import (cifar_train_augment,
+                                      imagenet_train_augment)
     from cpg_tpu.models import get_model
     from cpg_tpu.train.step import TrainConfig, make_train_step
 
+    augment_fn = (imagenet_train_augment if arch == "resnet50"
+                  else cifar_train_augment)
     cfg = TrainConfig(compute_dtype=jnp.bfloat16, use_fused_chain=fused,
-                      compiler_options=SCOPED)
-    state = ge._build_state(arch="vgg16_bn_cifar", mult=1.0, num_classes=5,
-                            seed=0)
+                      remat_policy=remat_policy, compiler_options=SCOPED)
+    state = ge._build_state(arch=arch, mult=1.0, num_classes=5, seed=0)
     task = state.tasks[2]
-    model_fn, in_shape = get_model("vgg16_bn_cifar")
+    model_fn, in_shape = get_model(arch)
     step, (opt_w, opt_pm) = make_train_step(
         model_fn, num_classes=5, mult=1.0, has_piggymask=True, cfg=cfg,
-        augment_fn=cifar_train_augment)
+        augment_fn=augment_fn)
     pm = task.piggymask
     ows = opt_w.init({"shared": state.shared, "private": task.private})
     opms = opt_pm.init(pm)
@@ -153,6 +156,19 @@ def main():
                 out[name] = f"failed: {type(e).__name__}: {str(e)[:300]}"
             print(json.dumps({name: out[name]}), flush=True)
         fc.BWD_PALLAS = True
+    if what in ("resnet", "all"):
+        # ResNet-50 @224: 13 of 16 bottleneck 3x3s are stride-1 fused-chain
+        # sites (models/resnet.py); b128 matches the perf_r3e rows
+        for name, fused in (("resnet_default", False), ("resnet_fused", True)):
+            try:
+                ms, by = step_bench(batch=128, warmup=4, iters=8, fused=fused,
+                                    arch="resnet50")
+                out[name] = {"ms": round(ms, 2),
+                             "ips": round(128 * 1e3 / ms, 0),
+                             "gb": round(by / 1e9, 2) if by else None}
+            except Exception as e:
+                out[name] = f"failed: {type(e).__name__}: {str(e)[:300]}"
+            print(json.dumps({name: out[name]}), flush=True)
     print(json.dumps({"summary": out}))
 
 

@@ -130,3 +130,36 @@ def test_vgg16_forward_param_compatible_and_close():
     for k in nbn0:
         np.testing.assert_allclose(np.array(nbn0[k]), np.array(nbn1[k]),
                                    rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+def test_resnet50_forward_param_compatible_and_close():
+    """ResNet-50's stride-1 bottleneck 3x3s route through
+    fused_bn_relu_sconv: same param names (checkpoint compatibility with the
+    torch converter), fused forward matches unfused. Small input so late
+    stages (h<3) exercise the kernel's XLA fallback too."""
+    rng = jax.random.PRNGKey(3)
+    from cpg_tpu.models import get_model
+
+    model_fn, _ = get_model("resnet50")
+    x = jax.random.normal(rng, (2, 64, 64, 3), jnp.float32)
+    shared, private, bn = fw.init(rng, model_fn, x, num_classes=6)
+    # torch-converter naming survives the fused-chain restructure
+    assert "layer1/block0/conv2/kernel" in shared
+    assert "layer3/block1/conv2/kernel" in shared
+    assert "layer1/block0/bn1/scale" in private
+    y0, _ = fw.apply(model_fn, shared, private, bn, x, train=False,
+                     num_classes=6)
+    y1, _ = fw.apply(model_fn, shared, private, bn, x, train=False,
+                     num_classes=6, fused_chain=True)
+    np.testing.assert_allclose(np.array(y0), np.array(y1),
+                               rtol=1e-4, atol=1e-4)
+    _, nbn0 = fw.apply(model_fn, shared, private, bn, x, train=True,
+                       num_classes=6)
+    _, nbn1 = fw.apply(model_fn, shared, private, bn, x, train=True,
+                       num_classes=6, fused_chain=True)
+    for k in nbn0:
+        # deeper than VGG: downstream BNs see f32-reassociated upstream
+        # outputs, so batch-stat drift compounds slightly (cf. the growth
+        # drift policy in SequenceConfig.verify_growth)
+        np.testing.assert_allclose(np.array(nbn0[k]), np.array(nbn1[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
