@@ -163,3 +163,36 @@ def test_resnet50_forward_param_compatible_and_close():
         # drift policy in SequenceConfig.verify_growth)
         np.testing.assert_allclose(np.array(nbn0[k]), np.array(nbn1[k]),
                                    rtol=1e-4, atol=1e-5, err_msg=k)
+
+
+def test_fused_chain_on_data_mesh_matches_default():
+    """The Pallas fused chain composes with the GSPMD data-parallel step:
+    same loss as the default path on a 4-way batch-sharded mesh. (Perf under
+    sharding is a separate hardware question; this pins correctness.)"""
+    from cpg_tpu.parallel.mesh import (make_mesh, make_parallel_train_step,
+                                       shard_batch)
+    from cpg_tpu.train.sequence import snapshot
+
+    state0 = _two_task_state()
+    data = synthetic_task(0, hw=8)
+    x = jnp.asarray(data["train_x"][:32])
+    y = jnp.asarray(data["train_y"][:32])
+    losses = []
+    for fused in (False, True):
+        state = snapshot(state0)  # pstep donates; never reuse donated inputs
+        task = state.tasks[2]
+        cfg = TrainConfig(lr=0.05, compute_dtype=jnp.float32,
+                          use_fused_chain=fused)
+        step, (ow, opm) = build_train_step(
+            tiny_vgg, num_classes=4, mult=1.0, has_piggymask=True, cfg=cfg,
+            augment_fn=lambda x, r: normalize01(x))
+        mesh = make_mesh(n_data=4)
+        pstep = make_parallel_train_step(step, mesh)
+        ows = ow.init({"shared": state.shared, "private": task.private})
+        opms = opm.init(task.piggymask)
+        xb, yb = shard_batch(mesh, x, y)
+        out = pstep(state.shared, task.piggymask, task.private,
+                    task.bn_state, ows, opms, state.ownership, 2, xb, yb,
+                    jax.random.PRNGKey(7), 0)
+        losses.append(float(out[-1]["loss"]))
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5, atol=1e-6)
