@@ -329,6 +329,10 @@ def build_parser():
     pv.add_argument("--experiment", default="cifar100",
                     choices=["cifar100", "finegrained", "face"],
                     help="selects the eval preprocess fn for the artifact")
+    pv.add_argument("--fused-chain", action="store_true",
+                    help="route bf16 request forwards through the "
+                         "VMEM-resident fused BN+ReLU+conv chain "
+                         "(no-op under int8 artifacts)")
     pv.add_argument("--scoped-vmem-kib", type=int, default=None,
                     help="xla_tpu_scoped_vmem_limit_kib for the request-path "
                          "executables (the +4.7%% training-step lever; same "
@@ -394,7 +398,8 @@ def main(argv=None):
         co = ({"xla_tpu_scoped_vmem_limit_kib": str(args.scoped_vmem_kib)}
               if args.scoped_vmem_kib else None)
         srv = TaskServer.load(args.artifact, preprocess_fn=prep,
-                              compiler_options=co)
+                              compiler_options=co,
+                              fused_chain=args.fused_chain)
         if args.http_port is not None:
             from .server_http import serve_http
 

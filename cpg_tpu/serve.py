@@ -68,7 +68,8 @@ class TaskServer:
                  max_bucket: int = 1024, quantize: Optional[str] = None,
                  cache: str = "precompute", max_cached: int = 4,
                  mesh: Optional[jax.sharding.Mesh] = None,
-                 compiler_options: Optional[Dict[str, str]] = None):
+                 compiler_options: Optional[Dict[str, str]] = None,
+                 fused_chain: bool = False):
         """`quantize="int8"`: post-training quantization of the cached
         effective weights — per-output-channel symmetric scales, dynamic
         per-tensor activation scales, int8 MXU convs/matmuls (measured 1.32x
@@ -110,6 +111,10 @@ class TaskServer:
         # per-executable XLA options for the request-path forwards (same
         # surface as TrainConfig.compiler_options, e.g. scoped-VMEM budget)
         self.compiler_options = compiler_options
+        # route stride-1 BN+ReLU+conv3x3 chains through the VMEM-resident
+        # Pallas kernel on the bf16 request path (ops/pallas/fused_chain.py);
+        # a no-op under int8 (Ctx guards on quant_scales)
+        self.fused_chain = fused_chain
         if mesh is not None:
             n = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
             # buckets stay powers of two; just raise the floor to the mesh
@@ -206,7 +211,7 @@ class TaskServer:
                                  train=False, compute_dtype=cdt,
                                  num_classes=nc, mult=mult,
                                  quant_scales=scales, act_scales=act_scales,
-                                 **mkw)
+                                 fused_chain=self.fused_chain, **mkw)
             return logits[0] if isinstance(logits, tuple) else logits
 
         co = getattr(self, "compiler_options", None)
@@ -348,8 +353,8 @@ class TaskServer:
     def load(cls, path: str, preprocess_fn: Optional[Callable] = None,
              min_bucket: int = 8, max_bucket: int = 1024,
              mesh: Optional[jax.sharding.Mesh] = None,
-             compiler_options: Optional[Dict[str, str]] = None
-             ) -> "TaskServer":
+             compiler_options: Optional[Dict[str, str]] = None,
+             fused_chain: bool = False) -> "TaskServer":
         """Reconstruct a server from an `export()` artifact (no training
         state required — builds a minimal frozen CPGState shell)."""
         import json
@@ -365,6 +370,7 @@ class TaskServer:
         srv._cache_lock = _threading.Lock()
         srv.mesh = mesh
         srv.compiler_options = compiler_options
+        srv.fused_chain = fused_chain
         if mesh is not None:
             min_bucket = max(min_bucket, int(np.prod(
                 [mesh.shape[a] for a in mesh.axis_names])))

@@ -490,3 +490,26 @@ def test_export_load_bf16_artifact(tmp_path):
     srv2 = TaskServer.load(p, preprocess_fn=normalize01)
     assert srv2._eff[1][next(iter(srv2._eff[1]))].dtype == jnp.bfloat16
     np.testing.assert_array_equal(srv2.predict(1, x), want)
+
+
+def test_fused_chain_serving_matches_default():
+    """TaskServer(fused_chain=True) routes bf16/f32 request forwards through
+    the Pallas fused chain; logits must match the default server on a model
+    with fused sites (tiny_vgg)."""
+    from .test_fused_chain_step import tiny_vgg  # has fused_bn_relu_sconv
+
+    state = init_state("tiny_vgg", jax.random.PRNGKey(0))
+    d = synthetic_task(0, hw=8)
+    start_task(state, "t1", d["num_classes"], jax.random.PRNGKey(1))
+    cfg = TrainConfig(lr=0.05, compute_dtype=jnp.float32)
+    Manager(state, tiny_vgg, 1, d, cfg, batch_size=32,
+            lr_schedule="constant", augment_fn=norm_augment,
+            preprocess_fn=normalize01).train(epochs=1)
+    x = d["test_x"][:10]
+    srv0 = TaskServer(state, preprocess_fn=normalize01,
+                      compute_dtype=jnp.float32, min_bucket=8)
+    srv1 = TaskServer(state, preprocess_fn=normalize01,
+                      compute_dtype=jnp.float32, min_bucket=8,
+                      fused_chain=True)
+    np.testing.assert_allclose(srv1.predict(1, x), srv0.predict(1, x),
+                               rtol=1e-4, atol=1e-5)
