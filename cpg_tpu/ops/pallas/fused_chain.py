@@ -91,10 +91,24 @@ def _pick_tb(n, h, w, cin, cout, budget=8 * 1024 * 1024):
     return tb
 
 
+def _tile_budget(small, wbytes, resident):
+    """Tile budget for a kernel whose block-constant resident buffer is
+    `resident` bytes (bf16 weight / f32 dW accumulator). Weights inside the
+    original 6 MiB cap keep the originally-tuned budget (`small`) so the
+    measured mult-1.0 path is untouched; larger weights (grown widths, up to
+    1024x1024) draw on the v5e's 128 MiB VMEM with a ~48 MB working-set
+    target."""
+    if wbytes <= 6 * 1024 * 1024:
+        return small
+    return max(2 * 1024 * 1024, 48 * 1024 * 1024 - resident)
+
+
 def _fwd_pallas(x, a, b, w, dot_dtype):
     n, h, ww, cin = x.shape
     cout = w.shape[-1]
-    tb = _pick_tb(n, h, ww, cin, cout)
+    wb = 9 * cin * cout * 2
+    tb = _pick_tb(n, h, ww, cin, cout,
+                  budget=_tile_budget(8 * 1024 * 1024, wb, wb))
     w2 = w.reshape(9 * cin, cout).astype(dot_dtype)
     a2 = a.reshape(1, cin).astype(jnp.float32)
     b2 = b.reshape(1, cin).astype(jnp.float32)
@@ -144,10 +158,12 @@ def _supported(x, w):
     return (kh == 3 and kw == 3 and c == cin
             # flattened rows must be sublane-friendly and rolls in-bounds
             and h >= 3 and ww >= 3 and n * h * ww >= 2 * (ww + 1)
-            # the resident (9C, Cout) weight (and the backward's f32 dW
-            # accumulator) must leave VMEM room for the tiles — grown widths
-            # beyond ~512x512 fall back to XLA
-            and 9 * cin * cout * 2 <= 6 * 1024 * 1024)
+            # largest resident buffer is the backward's f32 (9C, Cout) dW
+            # accumulator; capped so worst-case kernel residency (dW + double-
+            # buffered tiles under the _pick_tb budgets) stays < ~60 MB of the
+            # v5e's 128 MiB VMEM. Covers width-mult 2.0 VGG (1024x1024,
+            # 37.7 MB); beyond that falls back to XLA
+            and 9 * cin * cout * 4 <= 40 * 1024 * 1024)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -250,8 +266,9 @@ def _bwd_pallas(x, a, b, w, g, dot_dtype):
     n, h, ww, cin = x.shape
     cout = w.shape[-1]
     # dx kernel budget: x/g/act tiles + f32 dact + the (9C, Cout) weight
+    wb = 9 * cin * cout * 2
     tb = _pick_tb(n, h, ww, cin, cout,
-                  budget=10 * 1024 * 1024 - 18 * cin * cout)
+                  budget=_tile_budget(10 * 1024 * 1024 - wb, wb, wb))
     w2 = w.reshape(9 * cin, cout).astype(dot_dtype)
     a2 = a.reshape(1, cin).astype(jnp.float32)
     b2 = b.reshape(1, cin).astype(jnp.float32)
@@ -286,8 +303,9 @@ def _bwd_pallas(x, a, b, w, g, dot_dtype):
     )(x, g, a2, b2, w2)
     # dW in its own pass: its (9C, Cout) f32 accumulator is the VMEM budget
     tbw = _pick_tb(n, h, ww, cin, cout,
-                   budget=max(2 * 1024 * 1024,
-                              12 * 1024 * 1024 - 36 * cin * cout))
+                   budget=_tile_budget(
+                       max(2 * 1024 * 1024, 12 * 1024 * 1024 - 2 * wb),
+                       wb, 2 * wb))
     dw = pl.pallas_call(
         functools.partial(_bwd_dw_kernel, tb=tbw, h=h, w=ww, cin=cin,
                           cout=cout, dot_dtype=dot_dtype, nb=n // tbw),

@@ -83,7 +83,7 @@ def micro(iters=20):
 
 
 def step_bench(batch=8192, warmup=4, iters=8, fused=False,
-               arch="vgg16_bn_cifar", remat_policy=None):
+               arch="vgg16_bn_cifar", remat_policy=None, mult=1.0):
     import __graft_entry__ as ge
     from cpg_tpu.data.augment import (cifar_train_augment,
                                       imagenet_train_augment)
@@ -94,11 +94,11 @@ def step_bench(batch=8192, warmup=4, iters=8, fused=False,
                   else cifar_train_augment)
     cfg = TrainConfig(compute_dtype=jnp.bfloat16, use_fused_chain=fused,
                       remat_policy=remat_policy, compiler_options=SCOPED)
-    state = ge._build_state(arch=arch, mult=1.0, num_classes=5, seed=0)
+    state = ge._build_state(arch=arch, mult=mult, num_classes=5, seed=0)
     task = state.tasks[2]
     model_fn, in_shape = get_model(arch)
     step, (opt_w, opt_pm) = make_train_step(
-        model_fn, num_classes=5, mult=1.0, has_piggymask=True, cfg=cfg,
+        model_fn, num_classes=5, mult=mult, has_piggymask=True, cfg=cfg,
         augment_fn=augment_fn)
     pm = task.piggymask
     ows = opt_w.init({"shared": state.shared, "private": task.private})
@@ -156,6 +156,20 @@ def main():
                 out[name] = f"failed: {type(e).__name__}: {str(e)[:300]}"
             print(json.dumps({name: out[name]}), flush=True)
         fc.BWD_PALLAS = True
+    if what in ("grown", "all"):
+        # width-mult 2.0 (1024-channel convs): the fused path now rides the
+        # v5e's 128 MiB VMEM instead of falling back (fused_chain._supported
+        # cap raised r3); b2048 keeps a single process inside 16 GB HBM
+        for name, fused in (("grown2x_default", False), ("grown2x_fused", True)):
+            try:
+                ms, by = step_bench(batch=2048, warmup=4, iters=8,
+                                    fused=fused, mult=2.0)
+                out[name] = {"ms": round(ms, 2),
+                             "ips": round(2048 * 1e3 / ms, 0),
+                             "gb": round(by / 1e9, 2) if by else None}
+            except Exception as e:
+                out[name] = f"failed: {type(e).__name__}: {str(e)[:300]}"
+            print(json.dumps({name: out[name]}), flush=True)
     if what in ("resnet", "all"):
         # ResNet-50 @224: 13 of 16 bottleneck 3x3s are stride-1 fused-chain
         # sites (models/resnet.py); b128 matches the perf_r3e rows

@@ -134,3 +134,31 @@ def test_xla_fallback_backward_matches():
             np.testing.assert_allclose(
                 np.asarray(gi), np.asarray(wi), rtol=2e-4, atol=2e-4,
                 err_msg=f"bwd_pallas={flag} d{name}")
+
+
+def test_grown_width_weight_stays_on_pallas_path():
+    """Weights past the old 6 MiB cap (grown widths: 608x608 here standing
+    in for 768/1024) are still _supported — the kernels ride the v5e's
+    128 MiB VMEM with shrunk tiles — and match the oracle fwd + bwd."""
+    from cpg_tpu.ops.pallas.fused_chain import _supported
+
+    x, a, b, wt = _mk(2, 4, 4, 608, 608, seed=5)
+    assert 9 * 608 * 608 * 2 > 6 * 1024 * 1024  # genuinely past the old cap
+    assert _supported(x, wt)
+
+    got = fused_affine_relu_conv(x, a, b, wt, jnp.float32)
+    want = fused_oracle(x, a, b, wt, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+    g_ref = jax.random.normal(jax.random.PRNGKey(9), got.shape)
+    grads = jax.grad(lambda *A: jnp.sum(
+        fused_affine_relu_conv(*A, jnp.float32) * g_ref),
+        argnums=(0, 1, 2, 3))(x, a, b, wt)
+    wants = jax.grad(lambda *A: jnp.sum(
+        fused_oracle(*A, jnp.float32) * g_ref),
+        argnums=(0, 1, 2, 3))(x, a, b, wt)
+    for gi, wi, name in zip(grads, wants, "x a b w".split()):
+        np.testing.assert_allclose(np.asarray(gi), np.asarray(wi),
+                                   rtol=2e-3, atol=2e-3,
+                                   err_msg=f"d{name}")
