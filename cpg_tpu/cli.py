@@ -307,6 +307,15 @@ def build_parser():
                     help="eval preprocess applied during --calibrate (must "
                          "match what `serve` will use, or the calibrated "
                          "activation ranges are wrong)")
+    pt = sub.add_parser("import-torch",
+                        help="convert a reference CPG .pth/.pth.tar "
+                             "checkpoint (state_dict + masks + "
+                             "shared_layer_info) into a cpg_tpu checkpoint")
+    pt.add_argument("--ckpt", required=True,
+                    help="the torch.save file released by the reference")
+    pt.add_argument("--arch", default="vgg16_bn_cifar")
+    pt.add_argument("--out", required=True,
+                    help="cpg_tpu checkpoint directory to write (orbax)")
     pv = sub.add_parser("serve",
                         help="batch inference from a serving artifact "
                              "(TaskServer.load): offline request-file mode, "
@@ -379,6 +388,23 @@ def main(argv=None):
         print(json.dumps({"artifact": p, "tasks": state.num_tasks,
                           "quantize": srv.quantize,
                           "calibrated_tasks": calibrated}))
+        return 0
+
+    if args.cmd == "import-torch":
+        import torch
+
+        from .train.pretrained import convert_torch_cpg_checkpoint
+        from .utils.checkpoint import save_state
+
+        ckpt = torch.load(args.ckpt, map_location="cpu", weights_only=False)
+        state = convert_torch_cpg_checkpoint(ckpt, arch=args.arch)
+        save_state(state, args.out)
+        print(json.dumps({
+            "out": args.out, "arch": state.arch,
+            "tasks": {tid: {"name": t.name, "num_classes": t.num_classes}
+                      for tid, t in state.tasks.items()},
+            "width_mult": state.width_mult,
+        }))
         return 0
 
     if args.cmd == "serve":

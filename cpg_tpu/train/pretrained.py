@@ -211,3 +211,197 @@ def convert_torch_resnet50(state_dict: Dict[str, np.ndarray]):
         elif leaf == "running_var":
             bn[f"{base}/var"] = v
     return shared, private, bn
+
+
+# ---------------------------------------------------------------------------
+# Full CPG-checkpoint import: the reference's torch.save dict (backbone
+# state_dict + pruner `masks` + per-dataset `shared_layer_info` + dataset
+# history + width multiplier — ref:CPG_*_main*.py save_checkpoint, SURVEY §2
+# "Checkpoints" row) -> a complete multi-task CPGState that predict()/
+# TaskServer/run_sequence can use directly. Key names follow the reference
+# layout as reconstructed in SURVEY (the mount is empty, so every lookup is
+# tolerant and the format is pinned by the fixture round-trip test).
+# ---------------------------------------------------------------------------
+
+
+def _vgg16_module_maps(state_dict: Dict[str, np.ndarray]):
+    """torch module name -> cpg_tpu layer base, for the VGG16-BN trunk.
+
+    Returns (conv_map, bn_map): {'features.0': 'features/conv0', ...},
+    {'features.1': 'features/bn0', ...} — order-based over the Sequential,
+    mirroring convert_torch_vgg16_bn exactly."""
+    conv_map, bn_map = {}, {}
+    feats = {}
+    for k, v in state_dict.items():
+        parts = k.split(".")
+        if parts[0] in ("features", "shared") and len(parts) >= 3:
+            feats.setdefault(int(parts[1]),
+                             {})[parts[-1]] = (k, np.asarray(v))
+    ci = bi = 0
+    for idx in sorted(feats):
+        p = feats[idx]
+        mod = None
+        for leaf, (k, _) in p.items():
+            mod = k.rsplit(".", 1)[0]
+            break
+        if "weight" in p and p["weight"][1].ndim == 4:
+            conv_map[mod] = f"features/conv{ci}"
+            ci += 1
+        elif "running_mean" in p:
+            bn_map[mod] = f"features/bn{bi}"
+            bi += 1
+    return conv_map, bn_map
+
+
+def _lookup(d: Dict, *names, default=None):
+    for n in names:
+        if isinstance(d, dict) and n in d:
+            return d[n]
+    return default
+
+
+def _as_np(v):
+    return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+
+
+def _mod_key(d: Dict, mod: str):
+    """Fetch a per-module entry whether keyed 'features.0', 'features.0.weight'
+    or with a 'module.' prefix."""
+    for k in (mod, mod + ".weight", "module." + mod, "module." + mod + ".weight"):
+        if k in d:
+            return d[k]
+    return None
+
+
+def convert_torch_cpg_checkpoint(ckpt: Dict, arch: str = "vgg16_bn_cifar",
+                                 threshold: float = 5e-3) -> CPGState:
+    """Reference CPG checkpoint dict -> multi-task CPGState (VGG16-BN CIFAR).
+
+    Accepts the torch.load'ed dict with (tolerant names):
+      - 'state_dict' | 'model_state_dict' | 'model': backbone weights; the
+        BN affine/stats in it belong to the LAST (active) dataset
+      - 'masks': {module: int tensor, same shape as the conv weight} —
+        ownership, 0 = free, k = owned by task k (ref:pruner.py)
+      - 'shared_layer_info': {dataset: {'piggymask': {module: t},
+        'bn_layer_weight/bias/running_mean/running_var': {module: t},
+        'bias': {module: t}, 'prelu_layer_weight': {module: t}}}
+      - 'dataset_history': [name, ...] (task order); 'dataset2num_classes'
+      - 'network_width_multiplier' | 'width_mult'
+      - per-dataset heads: 'classifiers.{i}.weight/bias' in the state_dict,
+        or 'classifier/kernel' falls back to the backbone's head (last task)
+
+    Tasks are numbered 1..len(history) in history order (our ownership ints
+    use the same convention, so `masks` passes through transposed). A task
+    (>1) with no saved piggymask gets the reference init (all-above-threshold
+    1e-2): it picks every prior weight, which is the reference's behavior
+    before any mask training."""
+    import jax
+
+    from ..models import framework as fw, get_model
+
+    if arch != "vgg16_bn_cifar":
+        raise NotImplementedError(
+            "full CPG-checkpoint import currently supports vgg16_bn_cifar "
+            "(the CIFAR-100 experiment); ResNet/SphereNet need only their "
+            "module maps added")
+
+    sd = _lookup(ckpt, "state_dict", "model_state_dict", "model",
+                 default=ckpt)
+    sd = {(k[7:] if k.startswith("module.") else k): _as_np(v)
+          for k, v in sd.items() if hasattr(v, "shape") or hasattr(v, "detach")}
+    masks = {k: _as_np(v)
+             for k, v in (_lookup(ckpt, "masks", "mask") or {}).items()}
+    sli = _lookup(ckpt, "shared_layer_info", default={}) or {}
+    history = list(_lookup(ckpt, "dataset_history", "datasets",
+                           default=list(sli.keys())))
+    if not history:
+        raise ValueError("checkpoint lists no datasets "
+                         "(dataset_history/shared_layer_info empty)")
+    d2nc = _lookup(ckpt, "dataset2num_classes", default={}) or {}
+    wm = float(_lookup(ckpt, "network_width_multiplier", "width_mult",
+                       default=1.0))
+
+    shared, last_private, last_bn = convert_torch_vgg16_bn(sd)
+    conv_map, bn_map = _vgg16_module_maps(sd)
+
+    # ownership: reference mask ints ARE our convention (0 free, k task k)
+    ownership = {}
+    for mod, ours in conv_map.items():
+        m = _mod_key(masks, mod)
+        key = f"{ours}/kernel"
+        if m is None:
+            ownership[key] = jnp.ones(shared[key].shape, jnp.int8)
+        else:
+            ownership[key] = jnp.asarray(
+                np.transpose(m, (2, 3, 1, 0)), jnp.int8)
+
+    state = CPGState(arch=arch, width_mult=wm,
+                     shared={k: jnp.asarray(v, jnp.float32)
+                             for k, v in shared.items()},
+                     ownership=ownership, threshold=threshold)
+
+    model_fn, in_shape = get_model(arch)
+    for i, ds in enumerate(history):
+        tid = i + 1
+        info = sli.get(ds, {})
+        nc = int(_lookup(d2nc, ds, default=0) or 0)
+        hw = _lookup(sd, f"classifiers.{i}.weight")
+        hb = _lookup(sd, f"classifiers.{i}.bias")
+        if nc == 0 and hw is not None:
+            nc = hw.shape[0]
+        if nc == 0 and tid == len(history) \
+                and "classifier/kernel" in last_private:
+            nc = last_private["classifier/kernel"].shape[1]
+        if nc == 0:
+            raise ValueError(f"cannot determine num_classes for {ds!r}")
+
+        _, priv, bnst = fw.init(jax.random.PRNGKey(tid), model_fn,
+                                jnp.zeros((1, *in_shape)), num_classes=nc,
+                                mult=wm)
+        # per-dataset BN affine/stats + biases from shared_layer_info
+        for src, dst, into in (
+                ("bn_layer_weight", "scale", priv),
+                ("bn_layer_bias", "bias", priv),
+                ("bn_layer_running_mean", "mean", bnst),
+                ("bn_layer_running_var", "var", bnst)):
+            for mod, ours in bn_map.items():
+                v = _mod_key(_lookup(info, src, default={}) or {}, mod)
+                if v is not None:
+                    into[f"{ours}/{dst}"] = jnp.asarray(_as_np(v))
+        if tid == len(history):  # backbone BN entries = active task's
+            for k, v in last_private.items():
+                if k.startswith("features/bn"):
+                    priv[k] = jnp.asarray(v)
+            for k, v in last_bn.items():
+                bnst[k] = jnp.asarray(v)
+        # head
+        if hw is not None:
+            priv["classifier/kernel"] = jnp.asarray(_as_np(hw).T)
+            if hb is not None:
+                priv["classifier/bias"] = jnp.asarray(_as_np(hb))
+        elif tid == len(history) and "classifier/kernel" in last_private:
+            priv["classifier/kernel"] = jnp.asarray(
+                last_private["classifier/kernel"])
+            if "classifier/bias" in last_private:
+                priv["classifier/bias"] = jnp.asarray(
+                    last_private["classifier/bias"])
+
+        # piggymask (tasks > 1); missing -> reference init (pick everything)
+        pm = None
+        if tid > 1:
+            pm = {}
+            pmsrc = _lookup(info, "piggymask", "piggymasks", default={}) or {}
+            for mod, ours in conv_map.items():
+                key = f"{ours}/kernel"
+                v = _mod_key(pmsrc, mod)
+                if v is not None:
+                    pm[key] = jnp.asarray(
+                        np.transpose(_as_np(v), (2, 3, 1, 0)), jnp.float32)
+                else:
+                    pm[key] = jnp.full(state.shared[key].shape, 1e-2,
+                                       jnp.float32)
+        state.tasks[tid] = TaskEntry(
+            name=str(ds), num_classes=nc, piggymask=pm, private=priv,
+            bn_state=bnst,
+            meta={"imported": "torch_cpg_checkpoint"})
+    return state
