@@ -273,9 +273,98 @@ def _mod_key(d: Dict, mod: str):
     return None
 
 
+def _t_conv(t):
+    """torch OIHW -> HWIO (also applies to masks/piggymasks of the conv)."""
+    return np.transpose(np.asarray(t), (2, 3, 1, 0))
+
+
+def _t_fc5(t):
+    """SphereNet fc5 (and its masks): torch (out, c*h*w) NCHW-flat ->
+    (h*w*c, out) NHWC-flat (see convert_torch_spherenet20)."""
+    from ..models.spherenet import _FLAT_HW
+
+    t = np.asarray(t)
+    h, w = _FLAT_HW
+    c = t.shape[1] // (h * w)
+    return (t.T.reshape(c, h, w, t.shape[0]).transpose(1, 2, 0, 3)
+            .reshape(h * w * c, t.shape[0]))
+
+
+def _vgg16_adapter(sd):
+    conv_map, bn_map = _vgg16_module_maps(sd)
+    return {
+        "backbone": convert_torch_vgg16_bn(sd),
+        "sharable": [(mod, f"{base}/kernel", _t_conv)
+                     for mod, base in conv_map.items()],
+        "bn_map": bn_map, "prelu_map": {}, "bias_map": {},
+        "head": "classifier",
+    }
+
+
+def _resnet50_adapter(sd):
+    sharable, bn_map = [], {}
+    for k, v in sd.items():
+        parts = k.split(".")
+        if k.endswith(".weight") and np.asarray(v).ndim == 4:
+            mod = k[:-len(".weight")]
+            if parts[0] == "conv1":
+                base = "conv1"
+            elif parts[0].startswith("layer"):
+                base = f"{parts[0]}/block{parts[1]}"
+                base += ("/downsample" if parts[2] == "downsample"
+                         else f"/{parts[2]}")
+            else:
+                continue
+            sharable.append((mod, f"{base}/kernel", _t_conv))
+        elif k.endswith(".running_mean"):
+            mod = k[:-len(".running_mean")]
+            if parts[0] == "bn1":
+                bn_map[mod] = "bn1"
+            elif parts[0].startswith("layer"):
+                bn_map[mod] = (f"{parts[0]}/block{parts[1]}/"
+                               + ("downsample_bn" if parts[2] == "downsample"
+                                  else parts[2]))
+    return {"backbone": convert_torch_resnet50(sd), "sharable": sharable,
+            "bn_map": bn_map, "prelu_map": {}, "bias_map": {},
+            "head": "classifier"}
+
+
+def _sphere20_adapter(sd):
+    from ..models.spherenet import STAGES
+
+    sharable, prelu_map = [], {}
+    for si, (_, units) in enumerate(STAGES):
+        s = si + 1
+        sharable.append((f"conv{s}_1", f"stage{s}/down/kernel", _t_conv))
+        prelu_map[f"relu{s}_1"] = f"stage{s}/down_prelu/slope"
+        for u in range(units):
+            for half in (1, 2):
+                j = 2 + 2 * u + (half - 1)
+                sharable.append((f"conv{s}_{j}",
+                                 f"stage{s}/unit{u}/conv{half}/kernel",
+                                 _t_conv))
+                prelu_map[f"relu{s}_{j}"] = \
+                    f"stage{s}/unit{u}/prelu{half}/slope"
+    sharable.append(("fc5", "fc5/kernel", _t_fc5))
+    return {"backbone": convert_torch_spherenet20(sd), "sharable": sharable,
+            "bn_map": {}, "prelu_map": prelu_map,
+            "bias_map": {"fc5": "fc5/bias"}, "head": "classifier_angle"}
+
+
+_CPG_ADAPTERS = {
+    "vgg16_bn_cifar": _vgg16_adapter,
+    "resnet50": _resnet50_adapter,
+    "spherenet20": _sphere20_adapter,
+}
+
+
 def convert_torch_cpg_checkpoint(ckpt: Dict, arch: str = "vgg16_bn_cifar",
                                  threshold: float = 5e-3) -> CPGState:
-    """Reference CPG checkpoint dict -> multi-task CPGState (VGG16-BN CIFAR).
+    """Reference CPG checkpoint dict -> multi-task CPGState.
+
+    Supports all three reference architectures (ref:CPG_cifar100_main_normal,
+    ref:CPG_imagenet_main, ref:CPG_face_main save_checkpoint layouts):
+    vgg16_bn_cifar, resnet50, spherenet20.
 
     Accepts the torch.load'ed dict with (tolerant names):
       - 'state_dict' | 'model_state_dict' | 'model': backbone weights; the
@@ -299,11 +388,10 @@ def convert_torch_cpg_checkpoint(ckpt: Dict, arch: str = "vgg16_bn_cifar",
 
     from ..models import framework as fw, get_model
 
-    if arch != "vgg16_bn_cifar":
+    if arch not in _CPG_ADAPTERS:
         raise NotImplementedError(
-            "full CPG-checkpoint import currently supports vgg16_bn_cifar "
-            "(the CIFAR-100 experiment); ResNet/SphereNet need only their "
-            "module maps added")
+            f"full CPG-checkpoint import supports {sorted(_CPG_ADAPTERS)}; "
+            f"got {arch!r}")
 
     sd = _lookup(ckpt, "state_dict", "model_state_dict", "model",
                  default=ckpt)
@@ -321,19 +409,18 @@ def convert_torch_cpg_checkpoint(ckpt: Dict, arch: str = "vgg16_bn_cifar",
     wm = float(_lookup(ckpt, "network_width_multiplier", "width_mult",
                        default=1.0))
 
-    shared, last_private, last_bn = convert_torch_vgg16_bn(sd)
-    conv_map, bn_map = _vgg16_module_maps(sd)
+    ad = _CPG_ADAPTERS[arch](sd)
+    shared, last_private, last_bn = ad["backbone"]
+    head = ad["head"]
 
     # ownership: reference mask ints ARE our convention (0 free, k task k)
     ownership = {}
-    for mod, ours in conv_map.items():
+    for mod, key, tr in ad["sharable"]:
         m = _mod_key(masks, mod)
-        key = f"{ours}/kernel"
         if m is None:
             ownership[key] = jnp.ones(shared[key].shape, jnp.int8)
         else:
-            ownership[key] = jnp.asarray(
-                np.transpose(m, (2, 3, 1, 0)), jnp.int8)
+            ownership[key] = jnp.asarray(tr(m), jnp.int8)
 
     state = CPGState(arch=arch, width_mult=wm,
                      shared={k: jnp.asarray(v, jnp.float32)
@@ -341,62 +428,75 @@ def convert_torch_cpg_checkpoint(ckpt: Dict, arch: str = "vgg16_bn_cifar",
                      ownership=ownership, threshold=threshold)
 
     model_fn, in_shape = get_model(arch)
+    emb = shared["fc5/kernel"].shape[1] if "fc5/kernel" in shared else None
     for i, ds in enumerate(history):
         tid = i + 1
         info = sli.get(ds, {})
         nc = int(_lookup(d2nc, ds, default=0) or 0)
         hw = _lookup(sd, f"classifiers.{i}.weight")
         hb = _lookup(sd, f"classifiers.{i}.bias")
+        if hw is not None:  # orient: torch Linear is (out,in); AngleLinear
+            hw = _as_np(hw)  # may already be (emb, out)
+            hw = hw if (head == "classifier_angle"
+                        and hw.shape[0] == emb) else hw.T
         if nc == 0 and hw is not None:
-            nc = hw.shape[0]
+            nc = hw.shape[1]
         if nc == 0 and tid == len(history) \
-                and "classifier/kernel" in last_private:
-            nc = last_private["classifier/kernel"].shape[1]
+                and f"{head}/kernel" in last_private:
+            nc = last_private[f"{head}/kernel"].shape[1]
         if nc == 0:
             raise ValueError(f"cannot determine num_classes for {ds!r}")
 
         _, priv, bnst = fw.init(jax.random.PRNGKey(tid), model_fn,
                                 jnp.zeros((1, *in_shape)), num_classes=nc,
                                 mult=wm)
-        # per-dataset BN affine/stats + biases from shared_layer_info
+        # per-dataset BN affine/stats + PReLU slopes from shared_layer_info
         for src, dst, into in (
                 ("bn_layer_weight", "scale", priv),
                 ("bn_layer_bias", "bias", priv),
                 ("bn_layer_running_mean", "mean", bnst),
                 ("bn_layer_running_var", "var", bnst)):
-            for mod, ours in bn_map.items():
+            for mod, ours in ad["bn_map"].items():
                 v = _mod_key(_lookup(info, src, default={}) or {}, mod)
                 if v is not None:
                     into[f"{ours}/{dst}"] = jnp.asarray(_as_np(v))
-        if tid == len(history):  # backbone BN entries = active task's
+        prelus = _lookup(info, "prelu_layer_weight", "prelu", default={}) or {}
+        for mod, ours in ad["prelu_map"].items():
+            v = _mod_key(prelus, mod)
+            if v is not None:
+                priv[ours] = jnp.asarray(_as_np(v))
+        biases = _lookup(info, "bias", "biases", default={}) or {}
+        for mod, ours in ad["bias_map"].items():
+            v = _mod_key(biases, mod)
+            if v is not None:
+                priv[ours] = jnp.asarray(_as_np(v))
+        if tid == len(history):  # backbone private entries = active task's
             for k, v in last_private.items():
-                if k.startswith("features/bn"):
+                if not k.startswith(head):
                     priv[k] = jnp.asarray(v)
             for k, v in last_bn.items():
                 bnst[k] = jnp.asarray(v)
         # head
         if hw is not None:
-            priv["classifier/kernel"] = jnp.asarray(_as_np(hw).T)
-            if hb is not None:
-                priv["classifier/bias"] = jnp.asarray(_as_np(hb))
-        elif tid == len(history) and "classifier/kernel" in last_private:
-            priv["classifier/kernel"] = jnp.asarray(
-                last_private["classifier/kernel"])
-            if "classifier/bias" in last_private:
-                priv["classifier/bias"] = jnp.asarray(
-                    last_private["classifier/bias"])
+            priv[f"{head}/kernel"] = jnp.asarray(hw)
+            if hb is not None and head == "classifier":
+                priv[f"{head}/bias"] = jnp.asarray(_as_np(hb))
+        elif tid == len(history) and f"{head}/kernel" in last_private:
+            priv[f"{head}/kernel"] = jnp.asarray(
+                last_private[f"{head}/kernel"])
+            if f"{head}/bias" in last_private:
+                priv[f"{head}/bias"] = jnp.asarray(
+                    last_private[f"{head}/bias"])
 
         # piggymask (tasks > 1); missing -> reference init (pick everything)
         pm = None
         if tid > 1:
             pm = {}
             pmsrc = _lookup(info, "piggymask", "piggymasks", default={}) or {}
-            for mod, ours in conv_map.items():
-                key = f"{ours}/kernel"
+            for mod, key, tr in ad["sharable"]:
                 v = _mod_key(pmsrc, mod)
                 if v is not None:
-                    pm[key] = jnp.asarray(
-                        np.transpose(_as_np(v), (2, 3, 1, 0)), jnp.float32)
+                    pm[key] = jnp.asarray(tr(v), jnp.float32)
                 else:
                     pm[key] = jnp.full(state.shared[key].shape, 1e-2,
                                        jnp.float32)
