@@ -316,6 +316,17 @@ def build_parser():
     pt.add_argument("--arch", default="vgg16_bn_cifar")
     pt.add_argument("--out", required=True,
                     help="cpg_tpu checkpoint directory to write (orbax)")
+    px = sub.add_parser("export-torch",
+                        help="convert a cpg_tpu checkpoint into the "
+                             "reference's torch.save layout (state_dict + "
+                             "masks + shared_layer_info) for the original "
+                             "PyTorch code to consume")
+    px.add_argument("--ckpt", required=True,
+                    help="cpg_tpu checkpoint directory (orbax)")
+    px.add_argument("--arch", default=None,
+                    help="override arch recorded in the checkpoint")
+    px.add_argument("--out", required=True,
+                    help=".pth/.pth.tar file to write via torch.save")
     pv = sub.add_parser("serve",
                         help="batch inference from a serving artifact "
                              "(TaskServer.load): offline request-file mode, "
@@ -404,6 +415,25 @@ def main(argv=None):
             "tasks": {tid: {"name": t.name, "num_classes": t.num_classes}
                       for tid, t in state.tasks.items()},
             "width_mult": state.width_mult,
+        }))
+        return 0
+
+    if args.cmd == "export-torch":
+        import torch
+
+        from .train.export_torch import export_torch_cpg_checkpoint
+        from .utils.checkpoint import load_state
+
+        state = load_state(args.ckpt)
+        if args.arch:
+            state.arch = args.arch
+        ckpt = export_torch_cpg_checkpoint(state)
+        torch.save(ckpt, args.out)
+        print(json.dumps({
+            "out": args.out, "arch": state.arch,
+            "tasks": ckpt["dataset_history"],
+            "width_mult": ckpt["network_width_multiplier"],
+            "state_dict_keys": len(ckpt["state_dict"]),
         }))
         return 0
 
