@@ -237,6 +237,12 @@ def _add_common(p):
     p.add_argument("--synthetic-test-per-class", type=int, default=20)
     p.add_argument("--max-classes", type=int, default=None,
                    help="cap synthetic fine-grained class counts")
+    p.add_argument("--init-from", default=None, metavar="CKPT",
+                   help="continue a sequence from an existing cpg_tpu "
+                        "checkpoint directory (e.g. written by import-torch "
+                        "from a reference .pth.tar): tasks already in the "
+                        "checkpoint are kept frozen and skipped, the rest "
+                        "of the experiment's task list is trained on top")
     p.add_argument("--pretrained-npz", default=None,
                    help="ImageNet-pretrained task-1 weights npz (torch "
                         "state_dict keys or cpg_tpu keys); ref "
@@ -603,7 +609,17 @@ def main(argv=None):
     # (ref --use_imagenet_pretrained); npz with torch state_dict keys or
     # cpg_tpu-native keys
     init_kw = {}
+    if getattr(args, "init_from", None):
+        from .utils.checkpoint import load_state
+
+        st = load_state(args.init_from)
+        done = {t.name for t in st.tasks.values()}
+        tasks = {k: v for k, v in tasks.items() if k not in done}
+        init_kw["state"] = st
     if getattr(args, "pretrained_npz", None):
+        if init_kw:
+            raise SystemExit("--init-from and --pretrained-npz are mutually "
+                             "exclusive")
         import jax
         import numpy as np
 

@@ -153,3 +153,40 @@ def test_cli_check_invariants(tmp_path, capsys):
     assert cli_main(["check", "--checkpoint", dirty]) == 1
     rep = json.loads(capsys.readouterr().out)
     assert not rep["clean"] and any("I2" in v for v in rep["violations"])
+
+
+def test_cli_sequence_init_from(tmp_path, capsys):
+    """--init-from continues a sequence from an existing checkpoint (e.g.
+    one written by import-torch): tasks already present are skipped, new
+    ones train on top, and the inherited task's predictions stay bit-exact
+    (zero forgetting through the CLI path)."""
+    from cpg_tpu.cli import main as cli_main
+    from cpg_tpu.inference import predict
+    from cpg_tpu.utils.checkpoint import load_state
+
+    common = [
+        "--experiment", "cifar100",
+        "--batch-size", "25", "--lr", "0.05", "--dtype", "float32",
+        "--finetune-epochs", "1", "--prune-epochs", "1",
+        "--retrain-epochs", "1", "--prune-ratios", "0.3",
+        "--synthetic-train-per-class", "20",
+        "--synthetic-test-per-class", "5",
+    ]
+    assert cli_main(["sequence", "--num-tasks", "1",
+                     "--checkpoint-dir", str(tmp_path / "ck1"), *common]) == 0
+    capsys.readouterr()
+    base = load_state(str(tmp_path / "ck1" / "task01_aquatic_mammals"))
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(4, 32, 32, 3)).astype(np.float32))
+    before = np.asarray(predict(base, 1, x, compute_dtype=jnp.float32))
+
+    assert cli_main(["sequence", "--num-tasks", "2",
+                     "--init-from",
+                     str(tmp_path / "ck1" / "task01_aquatic_mammals"),
+                     "--checkpoint-dir", str(tmp_path / "ck2"), *common]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [t["name"] for t in summary["tasks"]] == ["fish"]  # task 1 skipped
+    cont = load_state(str(tmp_path / "ck2" / "task02_fish"))
+    assert cont.num_tasks == 2 and cont.tasks[1].name == "aquatic_mammals"
+    after = np.asarray(predict(cont, 1, x, compute_dtype=jnp.float32))
+    np.testing.assert_array_equal(after, before)
