@@ -92,3 +92,55 @@ def test_jit_and_eager_selection_agree():
     jitted = jax.jit(lambda w, o: pruner.prune_layer_by_ratio(w, o, 1, 0.37))(
         w, own)
     np.testing.assert_array_equal(np.array(eager[1]), np.array(jitted[1]))
+
+
+def test_fuzz_selection_bit_identical():
+    """Randomized sweep of the NumPy reference simulator vs the jitted
+    pruner: random shapes (2D and 4D), mixed multi-task ownership, random
+    targets/ratios, and INJECTED MAGNITUDE TIES (quantized weights) — the
+    tie-at-cutoff rule (`|w| <= cutoff` releases all) and round-half-even
+    rank must hold bit-identically over the whole space, not just the
+    hand-picked golden cases."""
+    checked = 0
+    for trial in range(40):
+        rng = np.random.RandomState(1000 + trial)
+        nd = 2 if trial % 2 else 4
+        shape = tuple(int(s) for s in rng.randint(2, 13, size=nd))
+        w = rng.randn(*shape).astype(np.float32)
+        if trial % 3 == 0:  # force heavy magnitude ties at the cutoff
+            w = (np.round(w, 1) + 0.0).astype(np.float32)
+        own = rng.choice([0, 1, 2, 3], size=shape,
+                         p=[0.15, 0.25, 0.45, 0.15]).astype(np.int8)
+        tid = 2
+        n0 = int((own == tid).sum())
+        if n0 < 2:
+            continue
+        # gradual event to a random total-sparsity target
+        target = float(rng.uniform(0.02, 0.95))
+        w_np, own_np = NumpyCPG.prune_to_total(w.copy(), own.copy(), tid,
+                                               target, n0)
+        sh, ow = pruner.gradual_prune(
+            {"l": jnp.asarray(w)}, {"l": jnp.asarray(own)}, tid,
+            jnp.float32(target),
+            pruner.snapshot_owned_counts({"l": jnp.asarray(own)}, tid))
+        np.testing.assert_array_equal(own_np, np.asarray(ow["l"]),
+                                      err_msg=f"gradual trial {trial}")
+        np.testing.assert_array_equal(w_np == 0, np.asarray(sh["l"]) == 0,
+                                      err_msg=f"gradual zeros trial {trial}")
+        # one-shot at a random ratio (round-half-even rank; <=cutoff ties)
+        ratio = float(rng.uniform(0.0, 1.0))
+        k = int(np.round(ratio * n0))
+        if k >= 1:
+            cutoff = np.sort(np.abs(w[own == tid]))[k - 1]
+            rm = (own == tid) & (np.abs(w) <= cutoff)
+        else:
+            rm = np.zeros(shape, bool)
+        own_os = np.where(rm, 0, own).astype(np.int8)
+        sh2, ow2 = pruner.one_shot_prune(
+            {"l": jnp.asarray(w)}, {"l": jnp.asarray(own)}, tid,
+            jnp.float32(ratio))
+        np.testing.assert_array_equal(own_os, np.asarray(ow2["l"]),
+                                      err_msg=f"one-shot trial {trial} "
+                                              f"ratio={ratio} k={k}")
+        checked += 1
+    assert checked >= 30  # the sweep must actually exercise the space
