@@ -51,7 +51,13 @@ def _interpret() -> bool:
 
 
 def _roll0(x, shift):
-    """Roll along axis 0. pltpu.roll on TPU; jnp.roll under the interpreter."""
+    """Roll along axis 0. pltpu.roll on TPU; jnp.roll under the interpreter.
+
+    Mosaic's rotate op only exists for 32-bit element types ("not
+    implemented: Rotate with non-32-bit data", observed on the real v5e
+    toolchain r3) — callers must roll f32/i32 and cast to the MXU dtype
+    AFTER the roll."""
+    assert x.dtype.itemsize == 4, "TPU rotate supports 32-bit data only"
     if _interpret():
         return jnp.roll(x, shift, axis=0)
     return pltpu.roll(x, shift, axis=0)
@@ -64,7 +70,8 @@ def _fused_kernel(x_ref, a_ref, b_ref, w_ref, o_ref, *, tb, h, w, cin, cout,
                   dot_dtype, out_dtype):
     m = tb * h * w
     xf = x_ref[:].reshape(m, cin).astype(jnp.float32)
-    act = jnp.maximum(xf * a_ref[:] + b_ref[:], 0.0).astype(dot_dtype)
+    act32 = jnp.maximum(xf * a_ref[:] + b_ref[:], 0.0)
+    act = act32.astype(dot_dtype)
     # flattened-row coordinates for the shift masks
     r = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
     hh = (r // w) % h
@@ -72,7 +79,8 @@ def _fused_kernel(x_ref, a_ref, b_ref, w_ref, o_ref, *, tb, h, w, cin, cout,
     acc = jnp.zeros((m, cout), jnp.float32)
     for k, (dy, dx) in enumerate(_OFFSETS):
         off = dy * w + dx
-        sh = act if off == 0 else _roll0(act, (-off) % m)
+        # roll in f32 (Mosaic rotate is 32-bit only), cast for the MXU after
+        sh = act if off == 0 else _roll0(act32, (-off) % m).astype(dot_dtype)
         valid = ((hh + dy >= 0) & (hh + dy < h)
                  & (ww + dx >= 0) & (ww + dx < w))
         sh = jnp.where(valid, sh, jnp.zeros((), dot_dtype))
@@ -83,8 +91,10 @@ def _fused_kernel(x_ref, a_ref, b_ref, w_ref, o_ref, *, tb, h, w, cin, cout,
 
 def _pick_tb(n, h, w, cin, cout, budget=8 * 1024 * 1024):
     """Largest power-of-two image-block dividing n whose VMEM working set
-    (x + act + rolled copy in the dot dtype, f32 accumulator) fits."""
-    per_img = h * w * (cin * 2 * 3 + cout * (4 + 2))
+    fits. The roll intermediates are f32 (Mosaic rotate is 32-bit only):
+    x bf16 + act f32 + act bf16 + rolled f32 + its bf16 cast ~ 12B/cin
+    element; f32 accumulator + out ~ 6B/cout element."""
+    per_img = h * w * (cin * 12 + cout * 6)
     tb = 1
     while tb * 2 <= n and n % (tb * 2) == 0 and (tb * 2) * per_img <= budget:
         tb *= 2
@@ -247,7 +257,8 @@ def _bwd_dw_kernel(x_ref, g_ref, a_ref, b_ref, dw_ref, *, tb, h, w, cin,
     m = tb * h * w
     xf = x_ref[:].reshape(m, cin).astype(jnp.float32)
     act = jnp.maximum(xf * a_ref[:] + b_ref[:], 0.0).astype(dot_dtype)
-    g2 = g_ref[:].reshape(m, cout).astype(dot_dtype)
+    g32 = g_ref[:].reshape(m, cout).astype(jnp.float32)
+    g2 = g32.astype(dot_dtype)
     r = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
     hh = (r // w) % h
     ww = r % w
@@ -255,8 +266,11 @@ def _bwd_dw_kernel(x_ref, g_ref, a_ref, b_ref, dw_ref, *, tb, h, w, cin,
         off = dy * w + dx_
         valid = ((hh + dy >= 0) & (hh + dy < h)
                  & (ww + dx_ >= 0) & (ww + dx_ < w))
-        gm = jnp.where(valid, g2, jnp.zeros((), dot_dtype))
-        gm = gm if off == 0 else _roll0(gm, off % m)
+        if off == 0:
+            gm = jnp.where(valid, g2, jnp.zeros((), dot_dtype))
+        else:
+            # mask+roll in f32 (Mosaic rotate is 32-bit only), cast after
+            gm = _roll0(jnp.where(valid, g32, 0.0), off % m).astype(dot_dtype)
         dw_ref[k * cin:(k + 1) * cin, :] += jax.lax.dot_general(
             act, gm, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
