@@ -283,6 +283,16 @@ def build_parser():
     pi.add_argument("--synthetic-test-per-class", type=int, default=20)
     pi.add_argument("--max-classes", type=int, default=None)
     sub.add_parser("bench")
+    pd = sub.add_parser("doctor",
+                        help="diagnose the runtime environment: imports, "
+                             "compile cache, data dir, and a TIMEOUT-BOUND "
+                             "backend probe (a wedged TPU relay hangs any "
+                             "in-process jax.devices() forever); exit 1 if "
+                             "the backend is unusable")
+    pd.add_argument("--timeout", type=float, default=90.0,
+                    help="backend probe timeout in seconds")
+    pd.add_argument("--json", action="store_true",
+                    help="one-line JSON report instead of text")
     ps = sub.add_parser("stats",
                         help="ownership/capacity report for a checkpoint")
     ps.add_argument("--checkpoint", required=True)
@@ -380,6 +390,11 @@ def main(argv=None):
 
         bench.main()
         return 0
+
+    if args.cmd == "doctor":
+        from .utils.doctor import run_doctor
+
+        return run_doctor(timeout_s=args.timeout, as_json=args.json)
 
     if args.cmd == "export":
         import numpy as np

@@ -190,3 +190,28 @@ def test_cli_sequence_init_from(tmp_path, capsys):
     assert cont.num_tasks == 2 and cont.tasks[1].name == "aquatic_mammals"
     after = np.asarray(predict(cont, 1, x, compute_dtype=jnp.float32))
     np.testing.assert_array_equal(after, before)
+
+
+def test_cli_doctor(tmp_path):
+    """`cpg_tpu doctor --json` reports a healthy CPU environment (rc 0) and
+    the report carries every check section. Subprocess so the backend probe
+    runs exactly as in production (timeout-bound device enumeration)."""
+    import os
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_COMPILATION_CACHE_DIR"] = str(tmp_path / "cache")
+    env["PYTHONPATH"] = ":".join(
+        p for p in env.get("PYTHONPATH", "").split(":")
+        if p and "axon" not in p)  # CPU test: never touch the relay
+    out = subprocess.run(
+        [sys.executable, "-m", "cpg_tpu", "doctor", "--json",
+         "--timeout", "120"],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["verdict"] == "OK"
+    assert rep["backend"]["ok"] and rep["backend"]["backend"] == "cpu"
+    assert rep["imports"]["jax"] and rep["compile_cache"]["configured"]
+    assert "data_dir" in rep and "host" in rep
