@@ -38,6 +38,7 @@ XLA oracle for shapes the kernel does not cover.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -65,6 +66,13 @@ def _roll0(x, shift):
 
 _OFFSETS = tuple((dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1))
 
+# One K=9C matmul over lane-concatenated shifted taps vs nine K=C matmuls.
+# The 9-dot form runs the MXU at K=C per product — at C=64 (VGG block1) that
+# measured 23 TFLOPS vs XLA's 106 (r3 micro A/B); concatenating the taps
+# trades +9C*2B/row of VMEM for a single well-shaped GEMM. Flag for A/B
+# (env CPG_FUSED_CONCAT=0 selects the nine-dot form without code edits).
+CONCAT_TAPS = os.environ.get("CPG_FUSED_CONCAT", "1") != "0"
+
 
 def _fused_kernel(x_ref, a_ref, b_ref, w_ref, o_ref, *, tb, h, w, cin, cout,
                   dot_dtype, out_dtype):
@@ -76,6 +84,7 @@ def _fused_kernel(x_ref, a_ref, b_ref, w_ref, o_ref, *, tb, h, w, cin, cout,
     r = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
     hh = (r // w) % h
     ww = r % w
+    taps = []
     acc = jnp.zeros((m, cout), jnp.float32)
     for k, (dy, dx) in enumerate(_OFFSETS):
         off = dy * w + dx
@@ -84,17 +93,26 @@ def _fused_kernel(x_ref, a_ref, b_ref, w_ref, o_ref, *, tb, h, w, cin, cout,
         valid = ((hh + dy >= 0) & (hh + dy < h)
                  & (ww + dx >= 0) & (ww + dx < w))
         sh = jnp.where(valid, sh, jnp.zeros((), dot_dtype))
-        acc = acc + jnp.dot(sh, w_ref[k * cin:(k + 1) * cin, :],
-                            preferred_element_type=jnp.float32)
+        if CONCAT_TAPS:
+            taps.append(sh)
+        else:
+            acc = acc + jnp.dot(sh, w_ref[k * cin:(k + 1) * cin, :],
+                                preferred_element_type=jnp.float32)
+    if CONCAT_TAPS:
+        acc = jnp.dot(jnp.concatenate(taps, axis=1), w_ref[:],
+                      preferred_element_type=jnp.float32)
     o_ref[:] = acc.reshape(tb, h, w, cout).astype(out_dtype)
 
 
-def _pick_tb(n, h, w, cin, cout, budget=8 * 1024 * 1024):
+def _pick_tb(n, h, w, cin, cout, budget=8 * 1024 * 1024, cin_bytes=None):
     """Largest power-of-two image-block dividing n whose VMEM working set
     fits. The roll intermediates are f32 (Mosaic rotate is 32-bit only):
     x bf16 + act f32 + act bf16 + rolled f32 + its bf16 cast ~ 12B/cin
-    element; f32 accumulator + out ~ 6B/cout element."""
-    per_img = h * w * (cin * 12 + cout * 6)
+    element; with CONCAT_TAPS the nine bf16 shifted taps are live at once
+    (+18B/cin). f32 accumulator + out ~ 6B/cout element."""
+    if cin_bytes is None:
+        cin_bytes = 30 if CONCAT_TAPS else 12
+    per_img = h * w * (cin * cin_bytes + cout * 6)
     tb = 1
     while tb * 2 <= n and n % (tb * 2) == 0 and (tb * 2) * per_img <= budget:
         tb *= 2
@@ -229,12 +247,21 @@ def _bwd_dx_kernel(x_ref, g_ref, a_ref, b_ref, w_ref, dx_ref, da_ref, db_ref,
     hh = (r // w) % h
     ww = r % w
     dact = jnp.zeros((m, cin), jnp.float32)
+    # all nine g @ W_k^T products as ONE (m, 9cin) GEMM when CONCAT_TAPS —
+    # the per-tap N=cin products starve the MXU at small cin (see fwd note)
+    U = (jax.lax.dot_general(g2, w_ref[:],
+                             dimension_numbers=(((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+         if CONCAT_TAPS else None)
     for k, (dy, dx_) in enumerate(_OFFSETS):
         off = dy * w + dx_
-        u = jax.lax.dot_general(
-            g2, w_ref[k * cin:(k + 1) * cin, :],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        if CONCAT_TAPS:
+            u = U[:, k * cin:(k + 1) * cin]
+        else:
+            u = jax.lax.dot_general(
+                g2, w_ref[k * cin:(k + 1) * cin, :],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
         valid = ((hh + dy >= 0) & (hh + dy < h)
                  & (ww + dx_ >= 0) & (ww + dx_ < w))
         u = jnp.where(valid, u, 0.0)
@@ -279,10 +306,12 @@ def _bwd_dw_kernel(x_ref, g_ref, a_ref, b_ref, dw_ref, *, tb, h, w, cin,
 def _bwd_pallas(x, a, b, w, g, dot_dtype):
     n, h, ww, cin = x.shape
     cout = w.shape[-1]
-    # dx kernel budget: x/g/act tiles + f32 dact + the (9C, Cout) weight
+    # dx kernel budget: x/g/act tiles + f32 dact + the (9C, Cout) weight;
+    # under CONCAT_TAPS the (m, 9cin) f32 U product is live too (+36B/cin)
     wb = 9 * cin * cout * 2
     tb = _pick_tb(n, h, ww, cin, cout,
-                  budget=_tile_budget(10 * 1024 * 1024 - wb, wb, wb))
+                  budget=_tile_budget(10 * 1024 * 1024 - wb, wb, wb),
+                  cin_bytes=44 if CONCAT_TAPS else 12)
     w2 = w.reshape(9 * cin, cout).astype(dot_dtype)
     a2 = a.reshape(1, cin).astype(jnp.float32)
     b2 = b.reshape(1, cin).astype(jnp.float32)
@@ -319,7 +348,8 @@ def _bwd_pallas(x, a, b, w, g, dot_dtype):
     tbw = _pick_tb(n, h, ww, cin, cout,
                    budget=_tile_budget(
                        max(2 * 1024 * 1024, 12 * 1024 * 1024 - 2 * wb),
-                       wb, 2 * wb))
+                       wb, 2 * wb),
+                   cin_bytes=12)  # dW kernel has no concatenated taps
     dw = pl.pallas_call(
         functools.partial(_bwd_dw_kernel, tb=tbw, h=h, w=ww, cin=cin,
                           cout=cout, dot_dtype=dot_dtype, nb=n // tbw),

@@ -65,6 +65,31 @@ def test_gradients_match_oracle():
                                    rtol=2e-4, atol=2e-4, err_msg=name)
 
 
+@pytest.mark.parametrize("concat", [True, False])
+def test_both_tap_formulations_match_oracle(concat, monkeypatch):
+    """The one-GEMM (CONCAT_TAPS) and nine-dot formulations must agree with
+    the oracle — fwd and bwd — so the hardware A/B flag can't change math."""
+    import cpg_tpu.ops.pallas.fused_chain as fc
+
+    monkeypatch.setattr(fc, "CONCAT_TAPS", concat)
+    x, a, b, wt = _mk(2, 5, 7, 8, 16, seed=5)
+    g_ref = jax.random.normal(jax.random.PRNGKey(4), (2, 5, 7, 16))
+    got = fused_affine_relu_conv(x, a, b, wt, jnp.float32)
+    want = fused_oracle(x, a, b, wt, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(f):
+        return lambda *args: jnp.sum(f(*args, jnp.float32) * g_ref)
+
+    got_g = jax.grad(loss(fused_affine_relu_conv), argnums=(0, 1, 2, 3))(
+        x, a, b, wt)
+    want_g = jax.grad(loss(fused_oracle), argnums=(0, 1, 2, 3))(x, a, b, wt)
+    for gi, wi, name in zip(got_g, want_g, "x a b w".split()):
+        np.testing.assert_allclose(np.asarray(gi), np.asarray(wi),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
 def test_bn_stats_grads_flow_through_affine():
     """Train-mode BN folds stats into (a, b) as functions of x; the chain
     rule through the custom_vjp must match end-to-end autodiff of the
