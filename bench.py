@@ -17,10 +17,10 @@ vs_baseline: the reference publishes NO throughput numbers (BASELINE.md), so
 the scoreboard is distance to the hardware roofline, not a made-up GPU
 multiplier (VERDICT r2 weak #3 retired the old invented 1500 img/s
 estimate). vs_baseline = floor_ms / step_ms where floor_ms is the
-HBM-bandwidth floor for this exact op graph: XLA's compiled
-cost_analysis()["bytes accessed"] divided by the chip's peak HBM bandwidth.
-1.0 = speed of light for this program (the step is HBM-bound, not MXU-bound
-— RESULTS.md roofline); higher is better.
+TWO-SIDED roofline floor for this exact op graph: the larger of the
+HBM-bandwidth floor (cost_analysis bytes / peak bandwidth) and the bf16 MXU
+FLOP floor (cost_analysis flops / peak bf16 throughput). 1.0 = speed of
+light for this program; higher is better.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -53,7 +53,8 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 
-PEAK_HBM_GBPS = 819.0  # v5e HBM bandwidth (public chip spec)
+PEAK_HBM_GBPS = 819.0   # v5e HBM bandwidth (public chip spec)
+PEAK_BF16_TFLOPS = 197.0  # v5e bf16 MXU peak (public chip spec)
 
 BATCH = 1024
 WARMUP = 10
@@ -91,14 +92,15 @@ def _time_step(arch, cfg, batch, warmup, iters, num_classes=5,
     priv, bn = task.private, task.bn_state
     own = state.ownership
 
-    # compiled-program byte traffic for the roofline floor (persistent
-    # compile cache makes the execution path's compile a cache hit)
-    bytes_accessed = None
+    # compiled-program byte + flop traffic for the two-sided roofline floor
+    # (persistent compile cache makes the execution path's compile a hit)
+    bytes_accessed = flops = None
     try:
         ca = step.lower(shared, pm, priv, bn, ows, opms, own, 2, x, y,
                         rng, 0).compile().cost_analysis()
         ca = ca[0] if isinstance(ca, list) else ca
         bytes_accessed = float(ca.get("bytes accessed", 0.0)) or None
+        flops = float(ca.get("flops", 0.0)) or None
     except Exception:
         pass  # cost model unavailable on this backend: report absolute only
 
@@ -115,7 +117,9 @@ def _time_step(arch, cfg, batch, warmup, iters, num_classes=5,
     t0 = time.perf_counter()
     run(iters)
     dt = time.perf_counter() - t0
-    return 1e3 * dt / iters, bytes_accessed
+    cost = ({"bytes": bytes_accessed, "flops": flops}
+            if bytes_accessed else None)
+    return 1e3 * dt / iters, cost
 
 
 def _probe_backend(timeout_s: float = 180.0) -> bool:
@@ -183,18 +187,31 @@ def main():
     except Exception as e:  # pragma: no cover
         fc_ms = f"failed: {type(e).__name__}: {e}"
 
-    # roofline: HBM-bandwidth floor of the best batch's compiled program
-    # (1.0 = this op graph cannot go faster on this chip without cutting
-    # bytes). The honest scoreboard: the reference publishes no throughput.
+    # roofline: two-sided floor of the best batch's compiled program — the
+    # larger of the HBM-bandwidth floor and the bf16 MXU FLOP floor (at
+    # b8192 the step's flops/peak exceeds bytes/bandwidth, i.e. the program
+    # is compute-bound; the byte floor alone understated how close to
+    # speed-of-light it runs). 1.0 = this op graph cannot go faster on this
+    # chip. The honest scoreboard: the reference publishes no throughput.
     roofline = {}
     vs_baseline = None
     if bytes_by_batch.get(best_batch):
-        gb = bytes_by_batch[best_batch] / 1e9
-        floor_ms = gb / PEAK_HBM_GBPS * 1e3
+        cost = bytes_by_batch[best_batch]
+        gb = cost["bytes"] / 1e9
+        byte_floor_ms = gb / PEAK_HBM_GBPS * 1e3
+        flop_floor_ms = (cost["flops"] / (PEAK_BF16_TFLOPS * 1e12) * 1e3
+                         if cost.get("flops") else 0.0)
+        floor_ms = max(byte_floor_ms, flop_floor_ms)
         vs_baseline = floor_ms / ms_by_batch[best_batch]
         roofline = {"bytes_per_step_gb": round(gb, 2),
-                    "hbm_floor_ms": round(floor_ms, 2),
+                    "hbm_floor_ms": round(byte_floor_ms, 2),
+                    "tflop_per_step": round(cost["flops"] / 1e12, 2)
+                    if cost.get("flops") else None,
+                    "flop_floor_ms": round(flop_floor_ms, 2),
+                    "bound": ("mxu" if flop_floor_ms > byte_floor_ms
+                              else "hbm"),
                     "peak_hbm_gbps": PEAK_HBM_GBPS,
+                    "peak_bf16_tflops": PEAK_BF16_TFLOPS,
                     "fraction_of_floor": round(vs_baseline, 3)}
 
     # ablation: fused Pallas sharable layers vs default (smaller iter counts;
@@ -240,8 +257,9 @@ def main():
             "compiler_options": {"xla_tpu_scoped_vmem_limit_kib": "65536"},
             "ablation": abl,
             "roofline": roofline,
-            "baseline_note": "vs_baseline = fraction of the HBM-bandwidth "
-                             "roofline for this compiled step (1.0 = speed "
+            "baseline_note": "vs_baseline = fraction of the two-sided "
+                             "roofline (max of HBM-byte and MXU-flop "
+                             "floors) for this compiled step (1.0 = speed "
                              "of light); the reference publishes no "
                              "throughput numbers (BASELINE.md)",
         },
