@@ -1,0 +1,98 @@
+"""Compiler-knob sweep at the roofline frontier (late round 3).
+
+The two-sided roofline (bench.py) puts the b8192 masked VGG16 step at 0.53
+of max(byte floor, flop floor) with the two floors nearly coincident —
+byte-cutting levers are exhausted, so whatever headroom remains is
+scheduling/occupancy inside the compiler. This sweep empirically probes
+XLA TPU options around the measured winner (scoped VMEM 64 MiB): each
+variant is one per-executable `compiler_options` dict; unknown flags on
+this libtpu fail the compile and are recorded as such, not fatal.
+
+Usage: python scripts/perf_r3g_flags.py   (one JSON line per variant)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+V64 = {"xla_tpu_scoped_vmem_limit_kib": "65536"}
+
+VARIANTS = [
+    ("baseline_v64", V64),
+    # untested scoped-VMEM points bracketing the winner (32M and 96M both
+    # measured worse than 64M in perf_r3; the optimum may sit off-center)
+    ("v48", {"xla_tpu_scoped_vmem_limit_kib": "49152"}),
+    ("v80", {"xla_tpu_scoped_vmem_limit_kib": "81920"}),
+    # scheduling/occupancy knobs (existence depends on the libtpu build —
+    # failures are data, not errors)
+    ("v64_lhs", dict(V64, xla_tpu_enable_latency_hiding_scheduler="true")),
+    ("v64_slop", dict(V64, xla_tpu_memory_limit_slop_factor="95")),
+    ("v64_license", dict(V64, xla_tpu_licm_size_inflation_ratio="2")),
+    ("v64_retile", dict(V64, xla_tpu_prefer_latest_layouts="true")),
+]
+
+
+def measure(opts, batch=8192, warmup=3, iters=8):
+    from cpg_tpu.data.augment import cifar_train_augment
+    from cpg_tpu.models import get_model
+    from cpg_tpu.train.step import TrainConfig, make_train_step
+    import __graft_entry__ as ge
+
+    cfg = TrainConfig(compute_dtype=jnp.bfloat16, compiler_options=opts)
+    state = ge._build_state()
+    task = state.tasks[2]
+    model_fn, in_shape = get_model("vgg16_bn_cifar")
+    step, (opt_w, opt_pm) = make_train_step(
+        model_fn, num_classes=5, mult=1.0, has_piggymask=True, cfg=cfg,
+        augment_fn=cifar_train_augment)
+    pm = task.piggymask
+    ows = opt_w.init({"shared": state.shared, "private": task.private})
+    opms = opt_pm.init(pm)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.randint(rng, (batch, *in_shape), 0, 256,
+                           jnp.int32).astype(jnp.uint8)
+    y = jax.random.randint(rng, (batch,), 0, 5, jnp.int32)
+    x, y = jax.device_put(x), jax.device_put(y)
+    shared, priv, bn, own = (state.shared, task.private, task.bn_state,
+                             state.ownership)
+
+    def run(n):
+        nonlocal shared, pm, priv, bn, ows, opms, rng
+        m = None
+        for i in range(n):
+            rng, sub = jax.random.split(rng)
+            (shared, pm, priv, bn, ows, opms, m) = step(
+                shared, pm, priv, bn, ows, opms, own, 2, x, y, sub, i)
+        return float(m["loss"])
+
+    run(warmup)
+    t0 = time.perf_counter()
+    run(iters)
+    return 1e3 * (time.perf_counter() - t0) / iters
+
+
+def main():
+    out = {}
+    for name, opts in VARIANTS:
+        try:
+            ms = measure(opts)
+            out[name] = {"ms": round(ms, 2),
+                         "ips": round(8192 * 1e3 / ms, 0)}
+        except Exception as e:
+            out[name] = f"failed: {type(e).__name__}: {str(e)[:200]}"
+        print(json.dumps({name: out[name]}), flush=True)
+    print(json.dumps({"summary": out}))
+
+
+if __name__ == "__main__":
+    main()
