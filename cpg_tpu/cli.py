@@ -6,7 +6,11 @@ experiment*/ shell loops, this stack exposes
 
     python -m cpg_tpu sequence  --experiment cifar100 ...   (the whole loop)
     python -m cpg_tpu baseline  --experiment cifar100 ...   (goal accuracies)
-    python -m cpg_tpu packnet   --experiment cifar100 ...   (comparison row)
+    python -m cpg_tpu packnet   --experiment cifar100 ...   (comparison row;
+        pass --max_allowed_network_width_multiplier 1.0 for the strict
+        fixed-capacity reference PackNet)
+    python -m cpg_tpu pae       --experiment cifar100 ...   (pack-and-expand
+        comparison row: PackNet masks-free freeze + the growth ladder)
     python -m cpg_tpu inference --checkpoint DIR --task-id K
     python -m cpg_tpu bench
 
@@ -269,7 +273,7 @@ def _add_common(p):
 def build_parser():
     parser = argparse.ArgumentParser(prog="cpg_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
-    for cmd in ("sequence", "baseline", "packnet"):
+    for cmd in ("sequence", "baseline", "packnet", "pae"):
         p = sub.add_parser(cmd)
         _add_common(p)
     pi = sub.add_parser("inference")
@@ -617,6 +621,8 @@ def main(argv=None):
 
     if args.cmd == "packnet":
         from .train.baselines import run_packnet_sequence as runner
+    elif args.cmd == "pae":
+        from .train.baselines import run_pae_sequence as runner
     else:
         from .train.sequence import run_sequence as runner
 

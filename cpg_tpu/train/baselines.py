@@ -1,14 +1,19 @@
-"""Baselines: individual per-task models and PackNet.
+"""Baselines: individual per-task models, PackNet, and PAE.
 
-Reference parity (SURVEY §2):
+Reference parity (SURVEY §2, paper Exp-1 comparison rows):
   * Individual-model baseline (ref:experiment1/baseline_cifar100.sh + its main
     script): trains one fresh model per task; the resulting accuracies become
     the per-task goals CPG must meet (ref `--baseline_acc_file`).
   * PackNet (ref:packnet_cifar100_main.py, ref:packnet_models/): prune-and-
     freeze continual learning WITHOUT piggyback masks — new tasks reuse all
-    prior weights unmasked (frozen) plus the released capacity. In this stack
-    that is literally the CPG cycle with the piggymask pinned at its
-    above-threshold init and never trained (cfg.train_piggymask=False).
+    prior weights unmasked (frozen) plus the released capacity, at FIXED
+    network capacity. In this stack that is literally the CPG cycle with the
+    piggymask pinned at its above-threshold init and never trained
+    (cfg.train_piggymask=False).
+  * PAE ("pack and expand", the authors' pre-CPG method the paper compares
+    against alongside PackNet): PackNet's prune-and-freeze PLUS width
+    expansion when the current capacity can't reach a task's goal — CPG
+    minus the picking masks.
 """
 
 from __future__ import annotations
@@ -87,3 +92,21 @@ def run_packnet_sequence(arch, tasks, cfg: Optional[TrainConfig] = None,
     else:
         state.mask_mode = "packnet"
     return run_sequence(arch, tasks, cfg, seq, state=state, **kwargs)
+
+
+def run_pae_sequence(arch, tasks, cfg: Optional[TrainConfig] = None,
+                     seq: Optional[SequenceConfig] = None, **kwargs):
+    """PAE comparison row ("pack and expand" — the authors' pre-CPG method,
+    paper Exp-1 ≈77% alongside PackNet): PackNet-style prune-and-freeze with
+    NO piggyback masks, PLUS the width-expansion ladder when a task's goal
+    is unreachable at the current capacity. Exactly the packnet mask mode
+    with growth left enabled — CPG minus the picking masks.
+
+    The strict fixed-capacity PackNet row is `run_packnet_sequence` with
+    `seq.max_width_mult = 1.0`; PAE requires expansion headroom."""
+    seq = seq or SequenceConfig()
+    if seq.max_width_mult <= 1.0:
+        raise ValueError(
+            "PAE is pack-AND-expand: seq.max_width_mult must exceed 1.0 "
+            "(use run_packnet_sequence for the fixed-capacity PackNet row)")
+    return run_packnet_sequence(arch, tasks, cfg, seq, **kwargs)

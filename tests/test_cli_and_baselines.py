@@ -215,3 +215,39 @@ def test_cli_doctor(tmp_path):
     assert rep["backend"]["ok"] and rep["backend"]["backend"] == "cpu"
     assert rep["imports"]["jax"] and rep["compile_cache"]["configured"]
     assert "data_dir" in rep and "host" in rep
+
+
+def test_pae_expands_where_packnet_cannot():
+    """PAE (pack-and-expand, paper Exp-1's third comparison row) = packnet
+    mask mode + the growth ladder: an unreachable goal forces a width bump
+    (packnet at fixed capacity just accepts the miss), still with zero
+    piggymask tensors. Guard: PAE with no expansion headroom is an error."""
+    import dataclasses
+
+    import pytest
+
+    from cpg_tpu.train.baselines import run_pae_sequence
+
+    tasks = {"t1": synthetic_task(0), "t2": synthetic_task(5, num_classes=3)}
+    cfg = TrainConfig(lr=0.05, compute_dtype=jnp.float32)
+    seq = SequenceConfig(finetune_epochs=4, prune_epochs=2, retrain_epochs=1,
+                         prune_ratios=(0.4,), batch_size=32, lr=0.05,
+                         prune_freq=5, seed=0, on_goal_miss="accept",
+                         growth_step=0.5, max_width_mult=1.5)
+    goals = {"t1": 0.0, "t2": 1.1}  # t2 unreachable -> must walk the ladder
+    state, reports = run_pae_sequence(
+        "tiny_cnn", tasks, cfg, seq, goals=goals, augment_fn=norm_augment,
+        preprocess_fn=normalize01)
+    assert state.mask_mode == "packnet"
+    assert all(t.piggymask is None for t in state.tasks.values())
+    assert state.width_mult == 1.5 and reports[1].grew
+
+    # the strict PackNet row at fixed capacity: same goal, no growth
+    pk_state, pk_reports = run_packnet_sequence(
+        "tiny_cnn", tasks, cfg, dataclasses.replace(seq, max_width_mult=1.0),
+        goals=goals, augment_fn=norm_augment, preprocess_fn=normalize01)
+    assert pk_state.width_mult == 1.0 and not pk_reports[1].grew
+
+    with pytest.raises(ValueError, match="pack-AND-expand"):
+        run_pae_sequence("tiny_cnn", tasks, cfg,
+                         dataclasses.replace(seq, max_width_mult=1.0))
