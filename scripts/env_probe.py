@@ -1,0 +1,120 @@
+"""Chip/relay characterization: measured peaks vs the public specs.
+
+The bench roofline divides by PUBLIC chip specs (819 GB/s HBM, 197 TFLOPS
+bf16). No real program achieves spec peaks, so fraction_of_floor
+systematically understates how close the step runs to what this chip can
+actually deliver. This probe measures, on the real device:
+
+  * achievable HBM bandwidth (streaming triad-like update, in-graph loop)
+  * achievable bf16 MXU throughput (square matmul chain)
+  * relay dispatch latency (per-call round trip vs in-graph iteration)
+  * host->device transfer bandwidth (the relay tunnel, CLAUDE.md ~25MB/s)
+
+All timed sections keep the work in ONE compiled program with a
+data-dependent scalar readback (block_until_ready returns before remote
+execution completes on the relayed backend). One JSON line.
+
+Usage: python scripts/env_probe.py [--quick]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+
+def _timed(fn, *args):
+    out = float(fn(*args))  # compile + warm
+    t0 = time.perf_counter()
+    out = float(fn(*args))
+    return time.perf_counter() - t0, out
+
+
+def hbm_bandwidth(size_mb=2048, iters=30):
+    """y = a*x + y over an N-element f32 vector, iterated in-graph: 3 HBM
+    streams (read x, read y, write y) per iteration."""
+    n = size_mb * 1024 * 1024 // 4
+
+    @jax.jit
+    def f(x, y):
+        def body(i, y):
+            return x * jnp.float32(1.0000001) + y
+
+        y = jax.lax.fori_loop(0, iters, body, y)
+        return y[0]  # scalar readback barrier
+
+    x = jnp.ones((n,), jnp.float32)
+    y = jnp.zeros((n,), jnp.float32)
+    dt, _ = _timed(f, x, y)
+    gb = 3.0 * n * 4 * iters / 1e9
+    return {"gbps": round(gb / dt, 1), "spec_gbps": 819.0,
+            "pct_of_spec": round(100 * gb / dt / 819.0, 1)}
+
+
+def mxu_bf16(dim=4096, iters=60):
+    @jax.jit
+    def f(a, b):
+        def body(i, a):
+            return jax.lax.dot(a, b, precision="DEFAULT",
+                               preferred_element_type=jnp.bfloat16)
+
+        a = jax.lax.fori_loop(0, iters, body, a)
+        return a[0, 0].astype(jnp.float32)
+
+    a = jnp.ones((dim, dim), jnp.bfloat16) * jnp.bfloat16(1e-2)
+    b = jnp.eye(dim, dtype=jnp.bfloat16)
+    dt, _ = _timed(f, a, b)
+    tflops = 2.0 * dim ** 3 * iters / dt / 1e12
+    return {"tflops": round(tflops, 1), "spec_tflops": 197.0,
+            "pct_of_spec": round(100 * tflops / 197.0, 1)}
+
+
+def dispatch_latency(n=30):
+    """Per-call round trip of a trivial jitted op with host readback each
+    call — the floor any eager-style loop pays through the relay."""
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.float32(0.0)
+    x = f(x)
+    float(x)  # warm
+    t0 = time.perf_counter()
+    for _ in range(n):
+        x = f(x)
+        x = jnp.float32(float(x))
+    return {"ms_per_call": round(1e3 * (time.perf_counter() - t0) / n, 2)}
+
+
+def h2d_bandwidth(size_mb=64):
+    import numpy as np
+
+    host = np.ones((size_mb * 1024 * 1024 // 4,), np.float32)
+    d = jax.device_put(host)
+    float(d[0])  # warm path
+    t0 = time.perf_counter()
+    d = jax.device_put(host)
+    float(d[0])  # readback barrier (tiny D2H)
+    dt = time.perf_counter() - t0
+    return {"mbps": round(size_mb / dt, 1)}
+
+
+def main():
+    quick = "--quick" in sys.argv
+    dev = jax.devices()[0]
+    out = {"device": str(dev), "platform": dev.platform}
+    out["dispatch"] = dispatch_latency(10 if quick else 30)
+    out["h2d"] = h2d_bandwidth(16 if quick else 64)
+    out["hbm"] = hbm_bandwidth(512 if quick else 2048, 10 if quick else 30)
+    out["mxu_bf16"] = mxu_bf16(2048 if quick else 4096, 20 if quick else 60)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
