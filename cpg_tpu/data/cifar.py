@@ -85,14 +85,18 @@ def load_cifar100(path: Optional[str] = None):
 
 
 def synthetic_cifar100(
-    n_train_per_class: int = 100, n_test_per_class: int = 20, seed: int = 0
+    n_train_per_class: int = 100, n_test_per_class: int = 20, seed: int = 0,
+    noise: float = 0.9,
 ):
     """Deterministic stand-in with learnable class structure.
 
     Each fine class gets a random low-frequency prototype image; samples are
     prototype + noise, quantized to uint8. Linearly separable enough that a
     CNN trains to high accuracy quickly, hard enough that pruning too far
-    visibly drops accuracy.
+    visibly drops accuracy. `noise` scales the per-sample Gaussian: the
+    default 0.9 saturates in tens of steps; raising it stretches sample
+    complexity so experiments that need a graded (non-saturated) accuracy
+    regime — e.g. the width-aware post-growth budget study — have one.
     """
     rng = np.random.RandomState(seed)
     protos = rng.randn(100, 8, 8, 3).astype(np.float32)
@@ -101,8 +105,8 @@ def synthetic_cifar100(
     def make(n_per):
         xs, ys = [], []
         for c in range(100):
-            noise = rng.randn(n_per, 32, 32, 3).astype(np.float32) * 0.9
-            img = protos[c] * 0.6 + noise
+            eps = rng.randn(n_per, 32, 32, 3).astype(np.float32) * noise
+            img = protos[c] * 0.6 + eps
             # fixed affine quantization: keep train/test contrast identical
             img = np.clip((img + 4.0) / 8.0 * 255.0, 0, 255).astype(np.uint8)
             xs.append(img)

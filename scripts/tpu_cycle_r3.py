@@ -79,13 +79,18 @@ def leg_a_packnet(out, t0):
 
 
 def leg_b_budgets(out, t0):
-    # NON-saturating: less data + fewer epochs; growth forced on task 3 so
-    # most of the sequence trains at a grown width where under-fit shows
+    # NON-saturating: growth forced on task 3 so most of the sequence trains
+    # at a grown width where under-fit shows. Calibrated on hardware
+    # (2026-08-17 probes): noise=0.9 is a step function (12 steps -> chance,
+    # 30 steps -> 1.0), useless for a budget study; noise=2.5 @ b128/150-per-
+    # class sits on the steep part (6 epochs -> ~0.66, 18 -> ~0.98), so epoch
+    # budgets are the binding constraint — exactly what VERDICT #7 tests.
     tasks = task_splits(synthetic_kwargs={
-        "n_train_per_class": 150, "n_test_per_class": 60})
+        "n_train_per_class": 150, "n_test_per_class": 60, "noise": 2.5})
+    batch = 128
     cfg = TrainConfig(lr=0.02, compute_dtype=jnp.bfloat16)
     goals = train_individual_baselines(
-        "vgg16_bn_cifar", tasks, cfg, epochs=6, batch_size=BATCH,
+        "vgg16_bn_cifar", tasks, cfg, epochs=6, batch_size=batch,
         augment_fn=A.cifar_train_augment,
         preprocess_fn=A.cifar_eval_preprocess,
         acc_file="baseline_acc_r3_legB.json")
@@ -98,7 +103,7 @@ def leg_b_budgets(out, t0):
     for scale in (0.0, 1.0):
         seq = SequenceConfig(
             finetune_epochs=6, prune_epochs=3, retrain_epochs=3,
-            prune_ratios=(0.2, 0.4, 0.6), batch_size=BATCH, lr=0.02,
+            prune_ratios=(0.2, 0.4, 0.6), batch_size=batch, lr=0.02,
             on_goal_miss="accept", verify_growth=True,
             growth_epoch_scale=scale, epoch_checkpoint_freq=3,
             checkpoint_dir=os.path.abspath(f"ck_r3_legB_s{scale:.0f}"))
@@ -132,7 +137,21 @@ def leg_b_budgets(out, t0):
 def main():
     t0 = time.time()
     out = {"device": str(jax.devices()[0])}
-    leg_a_packnet(out, t0)
+    if "--skip-a" in sys.argv:
+        # Leg A already ran to completion this round (2026-08-17, real chip,
+        # /tmp/cycle_r3.log) before the driving session was killed mid-leg-B;
+        # the measured row is injected verbatim rather than re-spending ~24
+        # TPU-minutes re-deriving it.
+        out["packnet_r3"] = {
+            "avg_top1": 0.959875, "final_width_mult": 2.0,
+            "mask_tensors": 0, "mask_bytes_avoided": 4471718400,
+            "r2_row": {"avg_top1": 1.0, "final_width_mult": 2.0},
+            "provenance": "measured 2026-08-17 (same code), injected on rerun",
+        }
+        print(f"[{time.time()-t0:.0f}s] leg A injected (measured earlier "
+              "this round)", flush=True)
+    else:
+        leg_a_packnet(out, t0)
     leg_b_budgets(out, t0)
     out["seconds_total"] = round(time.time() - t0, 1)
     with open("RESULTS_r3_cycle.json", "w") as f:
