@@ -118,7 +118,7 @@ def _time_step(arch, cfg, batch, warmup, iters, num_classes=5,
     run(iters)
     dt = time.perf_counter() - t0
     cost = ({"bytes": bytes_accessed, "flops": flops}
-            if bytes_accessed else None)
+            if (bytes_accessed or flops) else None)
     return 1e3 * dt / iters, cost
 
 
@@ -197,13 +197,13 @@ def main():
     vs_baseline = None
     if bytes_by_batch.get(best_batch):
         cost = bytes_by_batch[best_batch]
-        gb = cost["bytes"] / 1e9
-        byte_floor_ms = gb / PEAK_HBM_GBPS * 1e3
+        gb = cost["bytes"] / 1e9 if cost.get("bytes") else None
+        byte_floor_ms = gb / PEAK_HBM_GBPS * 1e3 if gb else 0.0
         flop_floor_ms = (cost["flops"] / (PEAK_BF16_TFLOPS * 1e12) * 1e3
                          if cost.get("flops") else 0.0)
         floor_ms = max(byte_floor_ms, flop_floor_ms)
         vs_baseline = floor_ms / ms_by_batch[best_batch]
-        roofline = {"bytes_per_step_gb": round(gb, 2),
+        roofline = {"bytes_per_step_gb": round(gb, 2) if gb else None,
                     "hbm_floor_ms": round(byte_floor_ms, 2),
                     "tflop_per_step": round(cost["flops"] / 1e12, 2)
                     if cost.get("flops") else None,

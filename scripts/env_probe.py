@@ -31,6 +31,9 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 
+# single source of truth for the spec peaks this probe calibrates against
+from bench import PEAK_BF16_TFLOPS, PEAK_HBM_GBPS, _probe_backend
+
 
 def _timed(fn, *args):
     out = float(fn(*args))  # compile + warm
@@ -56,8 +59,8 @@ def hbm_bandwidth(size_mb=2048, iters=30):
     y = jnp.zeros((n,), jnp.float32)
     dt, _ = _timed(f, x, y)
     gb = 3.0 * n * 4 * iters / 1e9
-    return {"gbps": round(gb / dt, 1), "spec_gbps": 819.0,
-            "pct_of_spec": round(100 * gb / dt / 819.0, 1)}
+    return {"gbps": round(gb / dt, 1), "spec_gbps": PEAK_HBM_GBPS,
+            "pct_of_spec": round(100 * gb / dt / PEAK_HBM_GBPS, 1)}
 
 
 def mxu_bf16(dim=4096, iters=60):
@@ -74,8 +77,8 @@ def mxu_bf16(dim=4096, iters=60):
     b = jnp.eye(dim, dtype=jnp.bfloat16)
     dt, _ = _timed(f, a, b)
     tflops = 2.0 * dim ** 3 * iters / dt / 1e12
-    return {"tflops": round(tflops, 1), "spec_tflops": 197.0,
-            "pct_of_spec": round(100 * tflops / 197.0, 1)}
+    return {"tflops": round(tflops, 1), "spec_tflops": PEAK_BF16_TFLOPS,
+            "pct_of_spec": round(100 * tflops / PEAK_BF16_TFLOPS, 1)}
 
 
 def dispatch_latency(n=30):
@@ -102,11 +105,13 @@ def h2d_bandwidth(size_mb=64):
     d = jax.device_put(host)
     float(d[0])  # readback barrier (tiny D2H)
     dt = time.perf_counter() - t0
-    return {"mbps": round(size_mb / dt, 1)}
+    return {"mb_per_s": round(size_mb / dt, 1)}
 
 
 def main():
     quick = "--quick" in sys.argv
+    if not _probe_backend():  # wedged relay hangs jax.devices() forever
+        sys.exit(2)
     dev = jax.devices()[0]
     out = {"device": str(dev), "platform": dev.platform}
     out["dispatch"] = dispatch_latency(10 if quick else 30)

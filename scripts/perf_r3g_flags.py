@@ -82,6 +82,9 @@ def measure(opts, batch=8192, warmup=3, iters=8):
 
 
 def main():
+    from bench import _probe_backend
+    if not _probe_backend():  # wedged relay hangs jax.devices() forever
+        sys.exit(2)
     out = {}
     for name, opts in VARIANTS:
         try:

@@ -101,12 +101,19 @@ def leg_b_budgets(out, t0):
     goals_forced = dict(goals, **{forced: 1.1})
     rows = {}
     for scale in (0.0, 1.0):
+        # A/B experiment, not a production resume: a stale checkpoint dir
+        # from an earlier config would be silently adopted by run_sequence's
+        # resume path (which matches on task name only) and its stored
+        # old-regime accuracies reported as this run's results. Start clean.
+        import shutil
+        ck = os.path.abspath(f"ck_r3_legB_s{scale:.0f}")
+        shutil.rmtree(ck, ignore_errors=True)
         seq = SequenceConfig(
             finetune_epochs=6, prune_epochs=3, retrain_epochs=3,
             prune_ratios=(0.2, 0.4, 0.6), batch_size=batch, lr=0.02,
             on_goal_miss="accept", verify_growth=True,
             growth_epoch_scale=scale, epoch_checkpoint_freq=3,
-            checkpoint_dir=os.path.abspath(f"ck_r3_legB_s{scale:.0f}"))
+            checkpoint_dir=ck)
         state, reports = run_sequence(
             "vgg16_bn_cifar", tasks, cfg, seq, goals=goals_forced,
             augment_fn=A.cifar_train_augment,
@@ -138,18 +145,13 @@ def main():
     t0 = time.time()
     out = {"device": str(jax.devices()[0])}
     if "--skip-a" in sys.argv:
-        # Leg A already ran to completion this round (2026-08-17, real chip,
-        # /tmp/cycle_r3.log) before the driving session was killed mid-leg-B;
-        # the measured row is injected verbatim rather than re-spending ~24
-        # TPU-minutes re-deriving it.
-        out["packnet_r3"] = {
-            "avg_top1": 0.959875, "final_width_mult": 2.0,
-            "mask_tensors": 0, "mask_bytes_avoided": 4471718400,
-            "r2_row": {"avg_top1": 1.0, "final_width_mult": 2.0},
-            "provenance": "measured 2026-08-17 (same code), injected on rerun",
-        }
-        print(f"[{time.time()-t0:.0f}s] leg A injected (measured earlier "
-              "this round)", flush=True)
+        # Leg A already ran to completion on hardware; reuse its saved row
+        # (RESULTS_r3_legA.json, provenance inside) rather than re-spending
+        # ~24 TPU-minutes. Fails loudly if the artifact is missing so a
+        # code change can't silently ride a stale claim.
+        out["packnet_r3"] = json.load(open("RESULTS_r3_legA.json"))
+        print(f"[{time.time()-t0:.0f}s] leg A injected from "
+              "RESULTS_r3_legA.json", flush=True)
     else:
         leg_a_packnet(out, t0)
     leg_b_budgets(out, t0)
