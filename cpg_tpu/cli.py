@@ -37,6 +37,15 @@ def _experiment_tasks(args):
     name) while keeping the experiment's arch/augmentation — the
     larger-than-RAM production path."""
     arch, tasks, aug, prep = _experiment_tasks_inner(args)
+    if getattr(args, "arch", None):
+        # swap the experiment's default arch (e.g. --arch vit_cifar runs the
+        # cifar100 20-task protocol on the sharable transformer family)
+        from .models import REGISTRY
+
+        if args.arch not in REGISTRY:
+            raise SystemExit(
+                f"unknown --arch {args.arch!r}; have {sorted(REGISTRY)}")
+        arch = args.arch
     if getattr(args, "memmap_dir", None):
         import os
 
@@ -179,6 +188,9 @@ def _seq_cfg(args):
 def _add_common(p):
     p.add_argument("--experiment", default="cifar100",
                    choices=["cifar100", "finegrained", "face"])
+    p.add_argument("--arch", default=None,
+                   help="override the experiment's default architecture "
+                        "(any models.REGISTRY name, e.g. vit_cifar)")
     p.add_argument("--num-tasks", type=int, default=0,
                    help="0 = all tasks of the experiment")
     p.add_argument("--batch-size", type=int, default=128)

@@ -390,6 +390,37 @@ def fused_bn_relu_sconv(ctx: Ctx, bn_name: str, conv_name: str, x: jax.Array,
     return checkpoint_name(y, "sconv_out")
 
 
+LN_EPS = 1e-6
+
+
+def layernorm(ctx: Ctx, name: str, x: jax.Array) -> jax.Array:
+    """LayerNorm with task-private affine (transformer counterpart of the
+    task-private BN: normalization is stateless, so there is no running-stat
+    entry — only `scale`/`bias` in ctx.private, padded by the standard
+    grow_private fills if their channel dim ever grows).
+
+    CPG-growth note (models/vit.py): LN normalizes ACROSS the channel axis,
+    so growing that axis would change old tasks' mean/var — which is why the
+    transformer growth law keeps the embed dim fixed and adds capacity as
+    new heads / MLP hidden units instead. f32 moments on bf16 reads, like
+    batchnorm."""
+    c = x.shape[-1]
+    scale = ctx.private_param(f"{name}/scale", (c,), lambda r, s: jnp.ones(s))
+    bias = ctx.private_param(f"{name}/bias", (c,), lambda r, s: jnp.zeros(s))
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + LN_EPS) * scale + bias
+    return y.astype(x.dtype if x.dtype != jnp.float32 else jnp.float32)
+
+
+def gelu(x):
+    """tanh-approximation GELU (torch nn.GELU('tanh') / ViT standard).
+    gelu(0) == 0 exactly — required by the growth law: a grown MLP hidden
+    unit outputs 0 for old tasks, and the activation must keep it 0."""
+    return jax.nn.gelu(x, approximate=True)
+
+
 def prelu(ctx: Ctx, name: str, x: jax.Array) -> jax.Array:
     """PReLU with task-private slope (ref: SphereNet PReLU in shared_layer_info)."""
     a = ctx.private_param(f"{name}/slope", (x.shape[-1],), lambda r, s: jnp.full(s, 0.25))

@@ -1,0 +1,112 @@
+"""Sharable Vision Transformer — the CPG framework beyond CNNs.
+
+The reference's model zoo is all-CNN (ref:models/vgg.py, ref:models/resnet.py,
+ref:models/spherenet.py); this family has no reference counterpart. It exists
+to prove the continual-learning engine (ownership masks, piggybank masks,
+gradual pruning, capacity growth, bit-exact zero forgetting) is architecture-
+generic: every weight matrix in a transformer block is a Sharable dense kernel
+(ops/masked), LayerNorm affines / positional embeddings / heads are
+task-private, and growth follows a transformer-specific exact-preservation
+law derived below.
+
+TPU-first design notes:
+  * all token mixing is MXU matmuls (q/k/v/proj/mlp through `sdense`, scores
+    and attention-apply through einsum) on bf16 with f32 softmax/LN moments;
+  * sequence length (64 patch tokens for 32x32/p4) and widths are static, so
+    the whole forward is one fused XLA program — no dynamic shapes anywhere;
+  * sdense is fed 2D (N*T, D) views, keeping every masked/Pallas/int8 kernel
+    path of the CNN zoo (ops/pallas/masked_matmul, serve.py PTQ) reusable
+    verbatim.
+
+Growth law (the transformer analogue of conv channel growth, grow.py):
+the embed dim D is the residual-stream bus and stays FIXED across width
+multipliers — LayerNorm normalizes across D, so growing D would change old
+tasks' moments (see framework.layernorm). Capacity grows instead by
+  * new attention heads:  q/k/v kernels (D, H*hd) -> (D, H'*hd), head_dim
+    fixed. Old-task visibility zeroes the new columns, so a new head's
+    q=k=0 -> uniform softmax over v=0 -> output 0; the out-proj's new input
+    rows then multiply exact zeros. Top-left block embedding is exact
+    BECAUSE q/k/v are separate kernels (a fused (D,3*inner) kernel would
+    scatter the old q|k|v blocks on growth) and head_dim is fixed (growing
+    head_dim would re-interleave old columns across heads).
+  * new MLP hidden units: fc1 (D,F)->(D,F'), fc2 (F,D)->(F',D); a grown
+    hidden unit is 0 for old tasks, gelu(0)=0, and fc2's new rows multiply 0.
+Both follow from the same ownership rule the CNNs use (an old task only sees
+entries owned <= itself; grown entries are FREE) — no ViT-specific code in
+core/grow.py, and no flatten_dims entry (nothing spatial feeds a dense).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .framework import (Ctx, gelu, head, layernorm, normal_init, sconv,
+                        sdense, xavier_normal)
+
+
+def _heads(heads: int, mult: float) -> int:
+    return max(1, int(heads * mult))
+
+
+def attention(ctx: Ctx, name: str, x, heads_n: int, head_dim: int):
+    """Multi-head self-attention over (N, T, D) with sharable q/k/v/proj."""
+    n, t, d = x.shape
+    inner = heads_n * head_dim
+    x2 = x.reshape(n * t, d)
+    q = sdense(ctx, f"{name}/q", x2, inner, kernel_init=xavier_normal)
+    k = sdense(ctx, f"{name}/k", x2, inner, kernel_init=xavier_normal)
+    v = sdense(ctx, f"{name}/v", x2, inner, kernel_init=xavier_normal)
+    q = q.reshape(n, t, heads_n, head_dim)
+    k = k.reshape(n, t, heads_n, head_dim)
+    v = v.reshape(n, t, heads_n, head_dim)
+    # f32 scores + softmax (bf16 softmax loses too much around the max)
+    scores = jnp.einsum("nthd,nshd->nhts", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores * (1.0 / head_dim ** 0.5)
+    att = jax.nn.softmax(scores, axis=-1).astype(ctx.compute_dtype)
+    out = jnp.einsum("nhts,nshd->nthd", att, v,
+                     preferred_element_type=ctx.compute_dtype)
+    out = out.reshape(n * t, inner)
+    out = sdense(ctx, f"{name}/proj", out, d, kernel_init=xavier_normal)
+    return out.reshape(n, t, d)
+
+
+def mlp(ctx: Ctx, name: str, x, hidden: int):
+    n, t, d = x.shape
+    x2 = x.reshape(n * t, d)
+    x2 = gelu(sdense(ctx, f"{name}/fc1", x2, hidden,
+                     kernel_init=xavier_normal))
+    x2 = sdense(ctx, f"{name}/fc2", x2, d, kernel_init=xavier_normal)
+    return x2.reshape(n, t, d)
+
+
+def vit_cifar(ctx: Ctx, x, num_classes: int, mult: float = 1.0,
+              depth: int = 6, dim: int = 256, heads: int = 4,
+              patch: int = 4, mlp_ratio: int = 4):
+    """ViT for 32x32 inputs. x: (N, 32, 32, 3) NHWC -> logits.
+
+    Pre-LN blocks, mean-pooled tokens (no CLS token: one fewer non-power-of-
+    two sequence length for the MXU tiler, and pooling is maskable-weight-
+    free anyway). Patch embedding is a sharable conv (ownership-masked like
+    every CNN stem). Positional embedding is task-private, like BN affines.
+    """
+    head_dim = dim // heads
+    heads_n = _heads(heads, mult)
+    hidden = max(1, int(dim * mlp_ratio * mult))
+    x = sconv(ctx, "patch/proj", x, dim, kernel=patch, stride=patch,
+              padding="VALID", kernel_init=xavier_normal)
+    n = x.shape[0]
+    t = x.shape[1] * x.shape[2]
+    x = x.reshape(n, t, dim)
+    pos = ctx.private_param("patch/pos_embed", (t, dim), normal_init(0.02))
+    x = (x + pos).astype(ctx.compute_dtype)
+    for i in range(depth):
+        x = x + attention(ctx, f"blocks/{i}/attn",
+                          layernorm(ctx, f"blocks/{i}/ln1", x),
+                          heads_n, head_dim)
+        x = x + mlp(ctx, f"blocks/{i}/mlp",
+                    layernorm(ctx, f"blocks/{i}/ln2", x), hidden)
+    x = layernorm(ctx, "norm", x)
+    x = jnp.mean(x.astype(jnp.float32), axis=1)
+    return head(ctx, "classifier", x, num_classes)

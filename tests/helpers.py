@@ -24,6 +24,22 @@ if "tiny_cnn" not in REGISTRY:
     REGISTRY["tiny_cnn"] = (tiny_cnn, (16, 16, 3))
 
 
+def tiny_vit(ctx, x, num_classes, mult=1.0):
+    """2-block ViT on 16x16 inputs (4 tokens) — CPU-fast transformer arch.
+
+    Registered as its own arch (not model_kwargs) because depth/dim/heads
+    change SHARED shapes, and grow_state re-inits shared shapes from the
+    registry entry alone."""
+    from cpg_tpu.models.vit import vit_cifar
+
+    return vit_cifar(ctx, x, num_classes, mult, depth=2, dim=32, heads=2,
+                     patch=8)
+
+
+if "tiny_vit" not in REGISTRY:
+    REGISTRY["tiny_vit"] = (tiny_vit, (16, 16, 3))
+
+
 def normalize01(x):
     import jax.numpy as jnp
 
