@@ -159,6 +159,7 @@ def _train_cfg(args):
     return TrainConfig(
         lr=args.lr, lr_mask=args.lr_mask, weight_decay=args.weight_decay,
         label_smoothing=args.label_smoothing,
+        optimizer=getattr(args, "optimizer", "sgd"),
         use_pallas=args.use_pallas, use_pallas_conv=args.use_pallas_conv,
         use_fused_chain=args.fused_chain,
         remat=args.remat, remat_policy=args.remat_policy,
@@ -233,7 +234,11 @@ def _add_common(p):
     p.add_argument("--compact-mode", default="incremental",
                    choices=["incremental", "restart"])
     p.add_argument("--lr-schedule", default="cosine",
-                   choices=["cosine", "constant", "step"])
+                   choices=["cosine", "constant", "step", "warmup_cosine"])
+    p.add_argument("--optimizer", default="sgd", choices=["sgd", "adamw"],
+                   help="weight optimizer; adamw + --lr-schedule "
+                        "warmup_cosine is the transformer recipe "
+                        "(--arch vit_cifar)")
     p.add_argument("--goals-file", default=None,
                    help="JSON {task: goal_acc} (ref --baseline_acc_file)")
     p.add_argument("--checkpoint-dir", default=None)

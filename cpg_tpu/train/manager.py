@@ -40,6 +40,14 @@ class PhaseResult:
 def _lr_at(base_lr: float, epoch: int, total_epochs: int, schedule: str) -> float:
     if schedule == "cosine":
         return 0.5 * base_lr * (1 + math.cos(math.pi * epoch / max(total_epochs, 1)))
+    if schedule == "warmup_cosine":
+        # transformer-standard: linear warmup over the first 10% of epochs
+        # (>=1), then the cosine walk over the rest (models/vit.py + adamw)
+        warm = max(1, int(0.1 * total_epochs))
+        if epoch < warm:
+            return base_lr * (epoch + 1) / warm
+        frac = (epoch - warm) / max(total_epochs - warm, 1)
+        return 0.5 * base_lr * (1 + math.cos(math.pi * frac))
     if schedule == "constant":
         return base_lr
     if schedule == "step":

@@ -100,6 +100,40 @@ def test_vit_grow_preserves_old_task():
     assert float(free_ratio(state.ownership)) > 0.3
 
 
+def test_vit_adamw_warmup_recipe_and_no_forgetting():
+    """The transformer recipe (optimizer='adamw' + warmup_cosine) trains the
+    ViT, and Adam's stateful moments still respect gradient gating: task-1
+    logits stay BIT-exact while task 2 trains with adamw."""
+    from cpg_tpu.train.manager import _lr_at
+
+    # warmup_cosine shape: linear ramp then cosine to ~0
+    assert _lr_at(1.0, 0, 20, "warmup_cosine") == 0.5  # warm=2: (0+1)/2
+    assert _lr_at(1.0, 1, 20, "warmup_cosine") == 1.0
+    assert _lr_at(1.0, 19, 20, "warmup_cosine") < 0.01
+
+    data1 = synthetic_task(0)
+    data2 = synthetic_task(7, num_classes=3)
+    cfg = TrainConfig(lr=3e-3, lr_mask=1e-3, compute_dtype=jnp.float32,
+                      optimizer="adamw")
+    state = init_state("tiny_vit", jax.random.PRNGKey(0))
+    start_task(state, "a", data1["num_classes"], jax.random.PRNGKey(1))
+    mgr1 = Manager(state, tiny_vit, 1, data1, cfg, batch_size=32,
+                   lr_schedule="warmup_cosine", augment_fn=norm_augment,
+                   preprocess_fn=normalize01)
+    res = mgr1.train(epochs=10)
+    assert res.acc > 0.7, f"adamw vit failed to learn: acc={res.acc}"
+    mgr1.train(epochs=4, prune_to=0.5, prune_freq=5, base_lr=1e-3)
+    x = normalize01(jnp.asarray(data1["test_x"][:8]))
+    before = predict(state, 1, x)
+
+    start_task(state, "b", data2["num_classes"], jax.random.PRNGKey(2))
+    Manager(state, tiny_vit, 2, data2, cfg, batch_size=32,
+            lr_schedule="warmup_cosine", augment_fn=norm_augment,
+            preprocess_fn=normalize01).train(epochs=6)
+    np.testing.assert_array_equal(np.array(before),
+                                  np.array(predict(state, 1, x)))
+
+
 def test_vit_serving_matches_predict():
     """TaskServer (bf16/int8 PTQ serving) is arch-generic: ViT logits through
     the server equal the reference-semantics predict() path."""
