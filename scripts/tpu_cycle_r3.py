@@ -89,11 +89,18 @@ def leg_b_budgets(out, t0):
         "n_train_per_class": 150, "n_test_per_class": 60, "noise": 2.5})
     batch = 128
     cfg = TrainConfig(lr=0.02, compute_dtype=jnp.bfloat16)
-    goals = train_individual_baselines(
-        "vgg16_bn_cifar", tasks, cfg, epochs=6, batch_size=batch,
-        augment_fn=A.cifar_train_augment,
-        preprocess_fn=A.cifar_eval_preprocess,
-        acc_file="baseline_acc_r3_legB.json")
+    # baselines are deterministic (fixed seeds, synthetic data), so a
+    # relay-outage relaunch reuses the saved file instead of re-spending
+    # ~25 TPU-minutes
+    try:
+        goals = json.load(open("baseline_acc_r3_legB.json"))
+        assert set(goals) == set(tasks)
+    except Exception:
+        goals = train_individual_baselines(
+            "vgg16_bn_cifar", tasks, cfg, epochs=6, batch_size=batch,
+            augment_fn=A.cifar_train_augment,
+            preprocess_fn=A.cifar_eval_preprocess,
+            acc_file="baseline_acc_r3_legB.json")
     print(f"[{time.time()-t0:.0f}s] leg B baselines: "
           f"min={min(goals.values()):.3f} "
           f"avg={sum(goals.values())/len(goals):.3f}", flush=True)
@@ -101,13 +108,26 @@ def leg_b_budgets(out, t0):
     goals_forced = dict(goals, **{forced: 1.1})
     rows = {}
     for scale in (0.0, 1.0):
-        # A/B experiment, not a production resume: a stale checkpoint dir
-        # from an earlier config would be silently adopted by run_sequence's
-        # resume path (which matches on task name only) and its stored
-        # old-regime accuracies reported as this run's results. Start clean.
+        # run_sequence's resume path matches on task name only, so a stale
+        # checkpoint dir from an EARLIER CONFIG would be silently adopted
+        # and its old-regime accuracies reported as this run's results.
+        # But relay outages force relaunches mid-leg, so same-config
+        # checkpoints must survive: fingerprint the leg config into the dir
+        # and wipe only on mismatch.
         import shutil
         ck = os.path.abspath(f"ck_r3_legB_s{scale:.0f}")
-        shutil.rmtree(ck, ignore_errors=True)
+        fp = {"noise": 2.5, "n_train": 150, "batch": batch, "scale": scale,
+              "epochs": [6, 3, 3], "ratios": [0.2, 0.4, 0.6],
+              "goals_min": round(min(goals.values()), 4)}
+        fp_path = os.path.join(ck, "leg_config.json")
+        try:
+            have = json.load(open(fp_path))
+        except Exception:
+            have = None
+        if have != fp:
+            shutil.rmtree(ck, ignore_errors=True)
+            os.makedirs(ck, exist_ok=True)
+            json.dump(fp, open(fp_path, "w"))
         seq = SequenceConfig(
             finetune_epochs=6, prune_epochs=3, retrain_epochs=3,
             prune_ratios=(0.2, 0.4, 0.6), batch_size=batch, lr=0.02,
