@@ -167,6 +167,98 @@ def convert_torch_spherenet20(state_dict: Dict[str, np.ndarray]):
     return shared, private, {}
 
 
+def convert_torch_vit(state_dict: Dict[str, np.ndarray]):
+    """torch ViT state_dict -> (shared, private, bn_state={}) in cpg_tpu
+    naming (models/vit.py — no reference counterpart; this is the migration
+    path for torch-pretrained ViTs onto the sharable transformer).
+
+    Accepted layouts per block i:
+      * separate projections: `blocks.{i}.{q,k,v,proj}.{weight,bias}` (the
+        layout models/vit.py needs — separate q/k/v kernels are what makes
+        head-growth embedding exact);
+      * timm-style fused qkv: `blocks.{i}.attn.qkv.weight` (3*inner, D) is
+        split row-wise into the three kernels (timm packs q|k|v on the out
+        axis), `attn.proj.*` for the output projection, `norm1/norm2` for
+        the LNs, `mlp.fc1/fc2`, `patch_embed.proj`.
+    CLS-token checkpoints are not supported (models/vit.py mean-pools over
+    patch tokens; a 3D (1, T, D) pos_embed is squeezed, nothing is dropped).
+    """
+    shared, private = {}, {}
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    for k, v in sd.items():
+        parts = k.split(".")
+        if parts[-1] not in ("weight", "bias"):
+            if parts[0] in ("pos_embed", "pos"):
+                if v.ndim == 3 and v.shape[0] == 1:
+                    v = v[0]
+                if v.ndim != 2:
+                    raise ValueError(f"pos_embed shape {v.shape} unsupported")
+                private["patch/pos_embed"] = v
+                continue
+            raise ValueError(f"unrecognized ViT param {k}")
+        is_w = parts[-1] == "weight"
+        if parts[0] in ("patch", "patch_embed"):
+            if is_w:
+                shared["patch/proj/kernel"] = np.transpose(v, (2, 3, 1, 0))
+            else:
+                # models/vit.py's patch conv is biasless; a per-channel conv
+                # bias is constant across tokens, so it folds EXACTLY into
+                # the (task-private) pos_embed added right after
+                private["_patch_bias_fold"] = v
+            continue
+        if parts[0] == "blocks":
+            i, name = int(parts[1]), ".".join(parts[2:-1])
+            if name in ("ln1", "norm1", "ln2", "norm2"):
+                ln = "ln1" if name in ("ln1", "norm1") else "ln2"
+                private[f"blocks/{i}/{ln}/" +
+                        ("scale" if is_w else "bias")] = v
+            elif name == "attn.qkv":  # timm fused: split out-axis thirds
+                third = v.shape[0] // 3
+                for j, nm in enumerate(("q", "k", "v")):
+                    chunk = v[j * third:(j + 1) * third]
+                    if is_w:
+                        shared[f"blocks/{i}/attn/{nm}/kernel"] = chunk.T
+                    else:
+                        private[f"blocks/{i}/attn/{nm}/bias"] = chunk
+            elif name in ("q", "k", "v", "proj", "attn.q", "attn.k",
+                          "attn.v", "attn.proj"):
+                nm = name.split(".")[-1]
+                if is_w:
+                    shared[f"blocks/{i}/attn/{nm}/kernel"] = v.T
+                else:
+                    private[f"blocks/{i}/attn/{nm}/bias"] = v
+            elif name in ("fc1", "fc2", "mlp.fc1", "mlp.fc2"):
+                nm = name.split(".")[-1]
+                if is_w:
+                    shared[f"blocks/{i}/mlp/{nm}/kernel"] = v.T
+                else:
+                    private[f"blocks/{i}/mlp/{nm}/bias"] = v
+            else:
+                raise ValueError(f"unrecognized ViT block param {k}")
+            continue
+        if parts[0] == "norm":
+            private["norm/" + ("scale" if is_w else "bias")] = v
+            continue
+        if parts[0] in ("head", "classifier"):
+            if is_w:
+                private["classifier/kernel"] = v.T
+            else:
+                private["classifier/bias"] = v
+            continue
+        if parts[0] in ("pos_embed", "pos"):
+            if v.ndim == 3 and v.shape[0] == 1:
+                v = v[0]
+            private["patch/pos_embed"] = v
+            continue
+        raise ValueError(f"unrecognized ViT param {k}")
+    fold = private.pop("_patch_bias_fold", None)
+    if fold is not None:
+        if "patch/pos_embed" not in private:
+            raise ValueError("patch bias requires a pos_embed to fold into")
+        private["patch/pos_embed"] = private["patch/pos_embed"] + fold
+    return shared, private, {}
+
+
 def convert_torch_resnet50(state_dict: Dict[str, np.ndarray]):
     """torchvision ResNet-50 state_dict -> (shared, private, bn_state) in
     cpg_tpu naming. Accepts a {key: ndarray} dict (e.g. torch tensors already

@@ -191,3 +191,121 @@ def test_resnet50_forward_matches_torch():
         want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
     got = np.array(predict(state, 1, jnp.asarray(x)))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+class TorchViTBlock(nn.Module):
+    def __init__(self, dim, heads, mlp_ratio=4):
+        super().__init__()
+        self.heads, self.hd = heads, dim // heads
+        self.ln1 = nn.LayerNorm(dim, eps=1e-6)
+        self.q = nn.Linear(dim, dim)
+        self.k = nn.Linear(dim, dim)
+        self.v = nn.Linear(dim, dim)
+        self.proj = nn.Linear(dim, dim)
+        self.ln2 = nn.LayerNorm(dim, eps=1e-6)
+        self.fc1 = nn.Linear(dim, dim * mlp_ratio)
+        self.fc2 = nn.Linear(dim * mlp_ratio, dim)
+        self.act = nn.GELU(approximate="tanh")
+
+    def attn(self, x):
+        n, t, d = x.shape
+        q = self.q(x).view(n, t, self.heads, self.hd).transpose(1, 2)
+        k = self.k(x).view(n, t, self.heads, self.hd).transpose(1, 2)
+        v = self.v(x).view(n, t, self.heads, self.hd).transpose(1, 2)
+        a = torch.softmax(q @ k.transpose(-1, -2) / self.hd ** 0.5, -1)
+        y = (a @ v).transpose(1, 2).reshape(n, t, d)
+        return self.proj(y)
+
+    def forward(self, x):
+        x = x + self.attn(self.ln1(x))
+        return x + self.fc2(self.act(self.fc1(self.ln2(x))))
+
+
+class TorchViT(nn.Module):
+    """Mean-pool pre-LN ViT mirroring models/vit.py (no CLS token); the patch
+    conv HAS a bias to exercise the converter's fold-into-pos_embed path."""
+
+    def __init__(self, num_classes=5, depth=2, dim=64, heads=2, patch=4,
+                 img=32):
+        super().__init__()
+        t = (img // patch) ** 2
+        self.patch = nn.Conv2d(3, dim, patch, patch, bias=True)
+        self.pos = nn.Parameter(torch.randn(t, dim) * 0.02)
+        self.blocks = nn.ModuleList(
+            [TorchViTBlock(dim, heads) for _ in range(depth)])
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
+        self.head = nn.Linear(dim, num_classes)
+
+    def forward(self, x):
+        x = self.patch(x)  # (N, D, H', W')
+        n, d = x.shape[:2]
+        x = x.flatten(2).transpose(1, 2) + self.pos  # (N, T, D)
+        for b in self.blocks:
+            x = b(x)
+        return self.head(self.norm(x).mean(1))
+
+
+def test_vit_forward_matches_torch():
+    from cpg_tpu.models import framework as fw
+    from cpg_tpu.models.vit import vit_cifar
+    from cpg_tpu.train.pretrained import convert_torch_vit
+
+    tm = TorchViT().eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    shared, private, bn = convert_torch_vit(sd)
+    assert shared["blocks/0/attn/q/kernel"].shape == (64, 64)
+    assert private["patch/pos_embed"].shape == (64, 64)
+
+    x = np.random.RandomState(1).randn(2, 32, 32, 3).astype(np.float32) * 0.5
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got, _ = fw.apply(
+        lambda ctx, xx, **kw: vit_cifar(ctx, xx, **kw),
+        {k: jnp.asarray(v) for k, v in shared.items()},
+        {k: jnp.asarray(v) for k, v in private.items()}, bn,
+        jnp.asarray(x), train=False, num_classes=5, depth=2, dim=64,
+        heads=2, patch=4)
+    np.testing.assert_allclose(np.array(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_vit_converter_timm_fused_qkv_layout():
+    """timm-style fused qkv / norm1/norm2 / mlp.fc* / patch_embed.proj /
+    (1,T,D) pos_embed names convert to the identical tree as the separate
+    layout."""
+    from cpg_tpu.train.pretrained import convert_torch_vit
+
+    tm = TorchViT(depth=1)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    want_sh, want_pr, _ = convert_torch_vit(sd)
+
+    timm = {
+        "patch_embed.proj.weight": sd["patch.weight"],
+        "patch_embed.proj.bias": sd["patch.bias"],
+        "pos_embed": sd["pos"][None],
+        "blocks.0.norm1.weight": sd["blocks.0.ln1.weight"],
+        "blocks.0.norm1.bias": sd["blocks.0.ln1.bias"],
+        "blocks.0.attn.qkv.weight": np.concatenate(
+            [sd["blocks.0.q.weight"], sd["blocks.0.k.weight"],
+             sd["blocks.0.v.weight"]], 0),
+        "blocks.0.attn.qkv.bias": np.concatenate(
+            [sd["blocks.0.q.bias"], sd["blocks.0.k.bias"],
+             sd["blocks.0.v.bias"]], 0),
+        "blocks.0.attn.proj.weight": sd["blocks.0.proj.weight"],
+        "blocks.0.attn.proj.bias": sd["blocks.0.proj.bias"],
+        "blocks.0.norm2.weight": sd["blocks.0.ln2.weight"],
+        "blocks.0.norm2.bias": sd["blocks.0.ln2.bias"],
+        "blocks.0.mlp.fc1.weight": sd["blocks.0.fc1.weight"],
+        "blocks.0.mlp.fc1.bias": sd["blocks.0.fc1.bias"],
+        "blocks.0.mlp.fc2.weight": sd["blocks.0.fc2.weight"],
+        "blocks.0.mlp.fc2.bias": sd["blocks.0.fc2.bias"],
+        "norm.weight": sd["norm.weight"],
+        "norm.bias": sd["norm.bias"],
+        "head.weight": sd["head.weight"],
+        "head.bias": sd["head.bias"],
+    }
+    got_sh, got_pr, _ = convert_torch_vit(timm)
+    assert set(got_sh) == set(want_sh) and set(got_pr) == set(want_pr)
+    for k in want_sh:
+        np.testing.assert_array_equal(got_sh[k], want_sh[k])
+    for k in want_pr:
+        np.testing.assert_array_equal(got_pr[k], want_pr[k])
