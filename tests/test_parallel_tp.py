@@ -165,3 +165,47 @@ def test_run_sequence_tp_full_cycle():
         total += a.size
         same += int((a == b).sum())
     assert same / total > 0.995, f"ownership agreement {same / total:.4f}"
+
+
+@pytest.mark.skipif(jax.device_count() < 4, reason="needs 4 fake devices")
+def test_manager_tp_vit_matches_single_device():
+    """Same production TP guarantee for the transformer family: a Manager on
+    a (data=2, model=2) mesh shards the ViT's q/k/v/proj/mlp kernels on the
+    model axis (head-parallel attention) and reproduces single-device
+    numerics."""
+    from .helpers import tiny_vit
+
+    def vit_state():
+        state = init_state("tiny_vit", jax.random.PRNGKey(0))
+        start_task(state, "a", 4, jax.random.PRNGKey(1))
+        state.shared, state.ownership = one_shot_prune(
+            state.shared, state.ownership, 1, jnp.float32(0.5))
+        start_task(state, "b", 3, jax.random.PRNGKey(2))
+        return state
+
+    data = synthetic_task(0)
+    data = dict(data, train_y=(data["train_y"] % 3),
+                test_y=(data["test_y"] % 3), num_classes=3)
+    cfg = TrainConfig(lr=0.05, compute_dtype=jnp.float32)
+
+    st1 = vit_state()
+    r1 = Manager(st1, tiny_vit, 2, data, cfg, batch_size=32,
+                 augment_fn=norm_augment, seed=5,
+                 lr_schedule="constant").train(1)
+
+    st2 = vit_state()
+    mesh = make_mesh(n_data=2, n_model=2, devices=jax.devices()[:4])
+    m2 = Manager(st2, tiny_vit, 2, data, cfg, batch_size=32,
+                 augment_fn=norm_augment, seed=5, lr_schedule="constant",
+                 mesh=mesh)
+    specs = {k: v.sharding.spec for k, v in st2.shared.items()}
+    sharded = [k for k, s in specs.items() if len(s) and s[-1] == "model"]
+    assert any("attn" in k for k in sharded), sharded
+    r2 = m2.train(1)
+
+    np.testing.assert_allclose(r1.acc, r2.acc, atol=1e-6)
+    np.testing.assert_allclose(r1.loss, r2.loss, rtol=1e-4, atol=1e-6)
+    for k in st1.shared:
+        np.testing.assert_allclose(np.asarray(st1.shared[k]),
+                                   np.asarray(st2.shared[k]),
+                                   rtol=3e-4, atol=3e-6)
