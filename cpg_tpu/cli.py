@@ -661,18 +661,24 @@ def main(argv=None):
         import jax
         import numpy as np
 
-        from .train.pretrained import (adopt_pretrained_task1,
-                                       convert_torch_resnet50)
+        from .train import pretrained as P
         from .train.sequence import init_state
 
         z = dict(np.load(args.pretrained_npz))
         st = init_state(arch, jax.random.PRNGKey(args.seed),
                         width_mult=args.network_width_multiplier)
-        if any("." in k for k in z):  # torch-style keys
-            shared, _, bn = convert_torch_resnet50(z)
+        if any("." in k for k in z):  # torch-style keys: arch's converter
+            conv = {"resnet50": P.convert_torch_resnet50,
+                    "vgg16_bn_cifar": P.convert_torch_vgg16_bn,
+                    "spherenet20": P.convert_torch_spherenet20,
+                    "vit_cifar": P.convert_torch_vit}.get(arch)
+            if conv is None:
+                raise SystemExit(f"--pretrained-npz with torch keys: no "
+                                 f"converter for arch {arch!r}")
+            shared, _, bn = conv(z)
         else:
             shared, bn = z, None
-        adopt_pretrained_task1(st, "imagenet", 1000, shared, bn_state=bn)
+        P.adopt_pretrained_task1(st, "imagenet", 1000, shared, bn_state=bn)
         init_kw["state"] = st
 
     mesh = None

@@ -251,3 +251,41 @@ def test_pae_expands_where_packnet_cannot():
     with pytest.raises(ValueError, match="pack-AND-expand"):
         run_pae_sequence("tiny_cnn", tasks, cfg,
                          dataclasses.replace(seq, max_width_mult=1.0))
+
+
+def test_cli_pretrained_npz_vit(tmp_path):
+    """--pretrained-npz dispatches the converter by --arch (previously
+    hardwired to ResNet-50): a torch-key ViT npz is adopted as task 1 and
+    the sequence continues from it."""
+    import os
+
+    import torch
+
+    from .test_torch_parity import TorchViT
+
+    tm = TorchViT(depth=6, dim=256, heads=4, patch=4)  # registry defaults
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    npz = tmp_path / "vit_pre.npz"
+    np.savez(npz, **sd)
+
+    cmd = [
+        sys.executable, "-m", "cpg_tpu", "sequence",
+        "--experiment", "cifar100", "--arch", "vit_cifar", "--num-tasks", "1",
+        "--batch-size", "32", "--lr", "0.01", "--dtype", "float32",
+        "--finetune-epochs", "1", "--prune-epochs", "1",
+        "--retrain-epochs", "1", "--prune-ratios", "0.5",
+        "--synthetic-train-per-class", "20",
+        "--synthetic-test-per-class", "5",
+        "--pretrained-npz", str(npz),
+    ]
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = ":".join(
+        p for p in env.get("PYTHONPATH", "").split(":")
+        if p and "axon" not in p)  # CPU test: never touch the relay
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1200,
+                         env=env, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    # task 1 is the adopted pretrained net, so the synthetic task is task 2
+    assert len(summary["tasks"]) == 1
