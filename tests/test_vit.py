@@ -134,6 +134,31 @@ def test_vit_adamw_warmup_recipe_and_no_forgetting():
                                   np.array(predict(state, 1, x)))
 
 
+def test_vit_run_sequence_with_forced_growth():
+    """The WHOLE sequence driver on the transformer: compact walk, a forced
+    growth-ladder event (goal 1.1 unreachable), in-process growth audit
+    (verify_growth), and zero-forgetting reports across 3 tasks."""
+    from cpg_tpu.train.sequence import SequenceConfig, run_sequence
+
+    tasks = {"t1": synthetic_task(0), "t2": synthetic_task(5, num_classes=3),
+             "t3": synthetic_task(9, num_classes=4)}
+    cfg = TrainConfig(lr=0.05, lr_mask=1e-3, compute_dtype=jnp.float32)
+    seq = SequenceConfig(finetune_epochs=4, prune_epochs=1, retrain_epochs=1,
+                         prune_ratios=(0.3,), batch_size=32, lr=0.05,
+                         prune_freq=5, lr_schedule="constant",
+                         on_goal_miss="accept", verify_growth=True,
+                         growth_step=0.5, max_width_mult=1.5)
+    goals = {"t1": 0.0, "t2": 1.1, "t3": 0.0}  # t2 walks the ladder to 1.5
+    state, reports = run_sequence(
+        "tiny_vit", tasks, cfg, seq, goals=goals, augment_fn=norm_augment,
+        preprocess_fn=normalize01)
+    assert state.width_mult == 1.5
+    assert reports[1].width_mult == 1.5  # t2 grew
+    assert state.shared["blocks/0/attn/q/kernel"].shape == (32, 48)
+    # t3 trained at the grown width and learned
+    assert reports[2].final_acc > 0.5, reports[2]
+
+
 def test_vit_serving_matches_predict():
     """TaskServer (bf16/int8 PTQ serving) is arch-generic: ViT logits through
     the server equal the reference-semantics predict() path."""
