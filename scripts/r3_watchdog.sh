@@ -1,0 +1,88 @@
+#!/bin/bash
+# Round-3 relay-outage watchdog. Loops until the queued TPU work is done:
+#   1. probe the relay (subprocess + timeout — a wedged relay hangs forever);
+#   2. when up: if the leg-B cycle is stalled (no checkpoint-dir mtime
+#      progress for 15 min) or dead, kill the RECORDED pid (never by
+#      pattern) and relaunch tpu_cycle_r3.py --skip-a (resumes from
+#      fingerprinted checkpoints + cached baselines);
+#   3. when RESULTS_r3_cycle.json exists: run env_probe, perf_vit, bench —
+#      one at a time (never share the chip), then exit.
+# Log: /tmp/r3_watchdog.log. Pid of the managed cycle: /tmp/cycle_r3b.pid.
+set -u
+cd /root/repo
+PY=/opt/venv/bin/python
+export PYTHONPATH=/root/repo:/root/.axon_site
+export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
+LOG=/tmp/r3_watchdog.log
+CK=ck_r3_legB_s0
+CK2=ck_r3_legB_s1
+
+log() { echo "$(date -u +%H:%M:%S) $*" >> "$LOG"; }
+
+relay_up() {
+  timeout 60 $PY -c "import jax; assert any(d.platform=='tpu' for d in jax.devices())" 2>/dev/null
+}
+
+ck_mtime() {  # newest mtime across both leg dirs (epoch seconds)
+  { find "$CK" "$CK2" -newer /dev/null -printf '%T@\n' 2>/dev/null || true; } \
+    | sort -n | tail -1 | cut -d. -f1
+}
+
+cycle_alive() {
+  [ -f /tmp/cycle_r3b.pid ] && kill -0 "$(cat /tmp/cycle_r3b.pid)" 2>/dev/null
+}
+
+launch_cycle() {
+  log "launching cycle --skip-a"
+  setsid nohup $PY scripts/tpu_cycle_r3.py --skip-a \
+    >> /tmp/cycle_r3b.log 2>> /tmp/cycle_r3b.err < /dev/null &
+  echo $! > /tmp/cycle_r3b.pid
+}
+
+log "watchdog start"
+STALL_SINCE=""
+while [ ! -f RESULTS_r3_cycle.json ]; do
+  if ! relay_up; then
+    log "relay down"
+    STALL_SINCE=""
+    sleep 120
+    continue
+  fi
+  if ! cycle_alive; then
+    log "relay up, cycle dead -> relaunch"
+    launch_cycle
+    STALL_SINCE=""
+    sleep 180
+    continue
+  fi
+  M=$(ck_mtime); NOW=$(date +%s)
+  if [ -n "$M" ] && [ $((NOW - M)) -gt 900 ]; then
+    if [ -z "$STALL_SINCE" ]; then
+      STALL_SINCE=$NOW
+      log "relay up but cycle stalled (ck age $((NOW - M))s) — confirming"
+      sleep 300
+      continue
+    fi
+    PID=$(cat /tmp/cycle_r3b.pid)
+    log "cycle pid $PID stalled >15min with relay up -> kill + relaunch"
+    kill "$PID" 2>/dev/null; sleep 10; kill -9 "$PID" 2>/dev/null
+    launch_cycle
+    STALL_SINCE=""
+    sleep 180
+    continue
+  fi
+  STALL_SINCE=""
+  log "cycle progressing (ck age $((NOW - ${M:-NOW}))s)"
+  sleep 180
+done
+
+log "cycle done; running env_probe"
+timeout 1800 $PY scripts/env_probe.py > ENV_PROBE_r3.json 2>> "$LOG" \
+  && log "env_probe ok" || log "env_probe FAILED"
+log "running perf_vit"
+timeout 3600 $PY scripts/perf_vit.py > PERF_vit_r3.json 2>> "$LOG" \
+  && log "perf_vit ok" || log "perf_vit FAILED"
+log "running bench"
+timeout 3600 $PY bench.py > BENCH_local_r3.json 2>> "$LOG" \
+  && log "bench ok" || log "bench FAILED"
+log "watchdog done"
