@@ -7,15 +7,17 @@ from typing import Callable, Dict, Optional, Tuple
 from .resnet import resnet50
 from .spherenet import spherenet20, spherenet_flatten_dims
 from .vgg import vgg16_bn_cifar
+from .text import textcls
 from .vit import vit_cifar
 
-# arch name -> (model_fn, default input shape HWC)
+# arch name -> (model_fn, default input shape HWC; (T,) = token sequence)
 REGISTRY: Dict[str, tuple] = {
     "vgg16_bn_cifar": (vgg16_bn_cifar, (32, 32, 3)),
     "resnet50": (resnet50, (224, 224, 3)),
     "spherenet20": (spherenet20, (112, 96, 3)),
-    # beyond-reference: transformer family (models/vit.py growth law)
+    # beyond-reference: transformer families (models/vit.py growth law)
     "vit_cifar": (vit_cifar, (32, 32, 3)),
+    "textcls": (textcls, (64,)),
 }
 
 # arch name -> {layer: (H, W)} for dense kernels fed by a spatial flatten.

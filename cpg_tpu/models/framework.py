@@ -390,6 +390,27 @@ def fused_bn_relu_sconv(ctx: Ctx, bn_name: str, conv_name: str, x: jax.Array,
     return checkpoint_name(y, "sconv_out")
 
 
+def sembed(ctx: Ctx, name: str, ids: jax.Array, vocab: int,
+           features: int) -> jax.Array:
+    """Sharable token embedding: a (vocab, features) maskable kernel looked
+    up by row. The CPG select runs on the TABLE (ownership visibility +
+    piggymask binarize over all vocab rows — identical semantics to sdense's
+    kernel), then the gather reads masked rows; XLA fuses the select into
+    the gather's operand. ids may arrive as f32 zeros from init()'s sample
+    batch — cast here. No Pallas/int8 variant: a (vocab, D) table gather is
+    bandwidth-trivial next to the block GEMMs.
+
+    Growth: the table keeps its shape across width multipliers (vocab and
+    the embed dim are both fixed — models/vit.py growth law), so grow_shared
+    passes it through untouched; it still prunes/picks like any kernel."""
+    key = f"{name}/kernel"
+    w = ctx.shared_param(key, (vocab, features), normal_init(0.02))
+    if ctx.masking is not None and ctx.mode != "init":
+        w = ctx.masked_weight(key, w)
+    return jnp.take(w.astype(ctx.compute_dtype), ids.astype(jnp.int32),
+                    axis=0)
+
+
 LN_EPS = 1e-6
 
 

@@ -49,8 +49,10 @@ def _heads(heads: int, mult: float) -> int:
     return max(1, int(heads * mult))
 
 
-def attention(ctx: Ctx, name: str, x, heads_n: int, head_dim: int):
-    """Multi-head self-attention over (N, T, D) with sharable q/k/v/proj."""
+def attention(ctx: Ctx, name: str, x, heads_n: int, head_dim: int,
+              causal: bool = False):
+    """Multi-head self-attention over (N, T, D) with sharable q/k/v/proj.
+    `causal=True` masks scores lower-triangularly (models/text.py)."""
     n, t, d = x.shape
     inner = heads_n * head_dim
     x2 = x.reshape(n * t, d)
@@ -64,6 +66,9 @@ def attention(ctx: Ctx, name: str, x, heads_n: int, head_dim: int):
     scores = jnp.einsum("nthd,nshd->nhts", q, k,
                         preferred_element_type=jnp.float32)
     scores = scores * (1.0 / head_dim ** 0.5)
+    if causal:
+        tri = jnp.tril(jnp.ones((t, t), jnp.bool_))
+        scores = jnp.where(tri, scores, -1e30)
     att = jax.nn.softmax(scores, axis=-1).astype(ctx.compute_dtype)
     out = jnp.einsum("nhts,nshd->nthd", att, v,
                      preferred_element_type=ctx.compute_dtype)

@@ -68,3 +68,19 @@ def synthetic_task(seed, num_classes=4, n_train=256, n_test=64, hw=16):
     vx, vy = make(n_test)
     return {"train_x": tx, "train_y": ty, "test_x": vx, "test_y": vy,
             "num_classes": num_classes}
+
+
+def tiny_textcls(ctx, x, num_classes, mult=1.0):
+    """2-block text transformer, 16-token sequences — CPU-fast."""
+    from cpg_tpu.models.text import textcls
+
+    return textcls(ctx, x, num_classes, mult, depth=2, dim=32, heads=2,
+                   vocab=64, causal=True)
+
+
+if "tiny_textcls" not in REGISTRY:
+    REGISTRY["tiny_textcls"] = (tiny_textcls, (16,))
+
+
+def ident_augment(x, rng):
+    return x

@@ -1,0 +1,85 @@
+"""Text-classification transformer (models/text.py): CPG on a second
+modality — the embedding TABLE is a sharable masked kernel (framework.sembed)
+held to the same invariants as conv/dense kernels."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cpg_tpu.core.ownership import free_ratio
+from cpg_tpu.data.text import synthetic_text_task
+from cpg_tpu.inference import predict
+from cpg_tpu.train.manager import Manager
+from cpg_tpu.train.sequence import grow_state, init_state, start_task
+from cpg_tpu.train.step import TrainConfig
+
+from .helpers import ident_augment, tiny_textcls
+
+
+def _task(seed, num_classes=4):
+    return synthetic_text_task(seed, num_classes=num_classes, vocab=64,
+                               seq_len=16, n_train=384, n_test=96)
+
+
+def _cfg():
+    return TrainConfig(lr=3e-3, lr_mask=1e-3, compute_dtype=jnp.float32,
+                       optimizer="adamw")
+
+
+def _manager(state, task_id, data, seed=0):
+    return Manager(state, tiny_textcls, task_id, data, _cfg(), batch_size=32,
+                   seed=seed, lr_schedule="constant",
+                   augment_fn=ident_augment, preprocess_fn=None)
+
+
+def test_text_train_prune_add_task_never_forget():
+    d1, d2 = _task(0), _task(7, num_classes=3)
+    state = init_state("tiny_textcls", jax.random.PRNGKey(0))
+    start_task(state, "a", d1["num_classes"], jax.random.PRNGKey(1))
+    mgr1 = _manager(state, 1, d1)
+    res = mgr1.train(epochs=8)
+    assert res.acc > 0.7, f"text task-1 failed to learn: acc={res.acc}"
+    mgr1.train(epochs=4, prune_to=0.5, prune_freq=5, base_lr=1e-3)
+    assert abs(float(free_ratio(state.ownership)) - 0.5) < 0.02
+    # the embedding table pruned like any kernel: released entries are zero
+    own = state.ownership["embed/kernel"]
+    w = state.shared["embed/kernel"]
+    assert float(jnp.abs(jnp.where(own == 0, w, 0)).max()) == 0.0
+    assert int((own == 0).sum()) > 0
+
+    x = jnp.asarray(d1["test_x"][:16])
+    before = predict(state, 1, x)
+
+    start_task(state, "b", d2["num_classes"], jax.random.PRNGKey(2))
+    res2 = _manager(state, 2, d2).train(epochs=8)
+    assert res2.acc > 0.6, f"text task-2 failed to learn: acc={res2.acc}"
+    np.testing.assert_array_equal(np.array(before),
+                                  np.array(predict(state, 1, x)))
+
+
+def test_text_grow_preserves_old_task():
+    """Transformer growth law on the text family: the embedding table keeps
+    its shape (vocab AND embed dim fixed) while heads/MLP widen; old-task
+    logits are preserved exactly."""
+    d = _task(0)
+    state = init_state("tiny_textcls", jax.random.PRNGKey(0))
+    start_task(state, "a", d["num_classes"], jax.random.PRNGKey(1))
+    mgr = _manager(state, 1, d)
+    mgr.train(epochs=5)
+    mgr.train(epochs=3, prune_to=0.4, prune_freq=5, base_lr=1e-3)
+    x = jnp.asarray(d["test_x"][:8])
+    before = predict(state, 1, x)
+
+    grow_state(state, 1.5, jax.random.PRNGKey(9))
+    assert state.shared["embed/kernel"].shape == (64, 32)  # untouched
+    assert state.shared["blocks/0/attn/q/kernel"].shape == (32, 48)
+    assert state.shared["blocks/0/mlp/fc1/kernel"].shape == (32, 192)
+    np.testing.assert_array_equal(np.array(before),
+                                  np.array(predict(state, 1, x)))
+    # grown capacity trains a new task without disturbing task 1
+    d2 = _task(5, num_classes=3)
+    start_task(state, "b", 3, jax.random.PRNGKey(2))
+    res = _manager(state, 2, d2, seed=1).train(epochs=8)
+    assert res.acc > 0.6, res
+    np.testing.assert_array_equal(np.array(before),
+                                  np.array(predict(state, 1, x)))
