@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from functools import partial
 import jax
+import jax.numpy as jnp
 
 from .core.state import CPGState
 from .models import framework as fw
@@ -35,10 +36,18 @@ def predict(state: CPGState, task_id: int, x, preprocess_fn=None,
         task.meta.get("model_kwargs") or {})
     logits, _ = fw.apply(
         model_fn, eff, task.private, task.bn_state, x, train=False,
-        compute_dtype=compute_dtype or x.dtype,
+        compute_dtype=compute_dtype or _float_dtype_of(x),
         num_classes=task.num_classes, mult=state.width_mult, **mkw,
     )
     return logits
+
+
+def _float_dtype_of(x):
+    """Default compute dtype from the input: its own dtype when floating,
+    f32 otherwise (integer TOKEN inputs — models/text.py — must not drag the
+    whole model into int arithmetic)."""
+    dt = jnp.asarray(x).dtype
+    return dt if jnp.issubdtype(dt, jnp.floating) else jnp.float32
 
 
 def make_predict_fn(state: CPGState, task_id: int, preprocess_fn=None,
@@ -57,8 +66,8 @@ def make_predict_fn(state: CPGState, task_id: int, preprocess_fn=None,
                                mask_mode=getattr(state, "mask_mode", "binary"))
         logits, _ = fw.apply(
             model_fn, eff, private, bn_state, xx, train=False,
-            compute_dtype=compute_dtype or xx.dtype, num_classes=nc, mult=mult,
-            **mkw,
+            compute_dtype=compute_dtype or _float_dtype_of(xx),
+            num_classes=nc, mult=mult, **mkw,
         )
         return logits
 

@@ -74,12 +74,35 @@ def test_text_grow_preserves_old_task():
     assert state.shared["embed/kernel"].shape == (64, 32)  # untouched
     assert state.shared["blocks/0/attn/q/kernel"].shape == (32, 48)
     assert state.shared["blocks/0/mlp/fc1/kernel"].shape == (32, 192)
-    np.testing.assert_array_equal(np.array(before),
-                                  np.array(predict(state, 1, x)))
-    # grown capacity trains a new task without disturbing task 1
+    # across the growth the math is exact but the XLA program changes shape
+    # (wider K dots reassociate) — tight allclose, same convention as the
+    # SphereNet growth test / SequenceConfig.verify_growth
+    after = np.array(predict(state, 1, x))
+    np.testing.assert_allclose(np.array(before), after, rtol=2e-6, atol=2e-6)
+    # grown capacity trains a new task without disturbing task 1: same
+    # program shapes from here on, so BIT-equal
     d2 = _task(5, num_classes=3)
     start_task(state, "b", 3, jax.random.PRNGKey(2))
     res = _manager(state, 2, d2, seed=1).train(epochs=8)
     assert res.acc > 0.6, res
-    np.testing.assert_array_equal(np.array(before),
-                                  np.array(predict(state, 1, x)))
+    np.testing.assert_array_equal(after, np.array(predict(state, 1, x)))
+
+
+def test_text_serving_matches_predict():
+    """TaskServer on token inputs equals predict(); also pins the
+    integer-input compute-dtype default (an int32 x must not drag the model
+    into int arithmetic — inference._float_dtype_of)."""
+    from cpg_tpu.serve import TaskServer
+
+    d = _task(0)
+    state = init_state("tiny_textcls", jax.random.PRNGKey(0))
+    start_task(state, "a", d["num_classes"], jax.random.PRNGKey(1))
+    _manager(state, 1, d).train(epochs=2)
+    x = d["test_x"][:5]
+    srv = TaskServer(state, compute_dtype=jnp.float32, min_bucket=4)
+    got = srv.predict(1, x)
+    want = np.array(predict(state, 1, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # distinct token rows give distinct logits (the int32-forward regression
+    # collapsed every row to the same vector)
+    assert np.abs(want[0] - want[1]).max() > 1e-4
