@@ -91,6 +91,13 @@ def _experiment_tasks_inner(args):
                  for i, n in enumerate(names)}
         return ("resnet50", tasks, A.imagenet_train_augment,
                 A.imagenet_eval_preprocess)
+    if args.experiment == "textcls":
+        # beyond-reference second modality (models/text.py): synthetic
+        # text-classification tasks, identity augmentation (tokens)
+        from .data.text import text_task_splits
+
+        tasks = text_task_splits(n_tasks=args.num_tasks or 4)
+        return ("textcls", tasks, lambda x, rng: x, None)
     if args.experiment == "face":
         # config 4+5: CASIA A-Softmax face task, then facial-expression task
         # grown on the compacted face trunk (ref:CPG_face_main.py, exp 3)
@@ -188,7 +195,7 @@ def _seq_cfg(args):
 
 def _add_common(p):
     p.add_argument("--experiment", default="cifar100",
-                   choices=["cifar100", "finegrained", "face"])
+                   choices=["cifar100", "finegrained", "face", "textcls"])
     p.add_argument("--arch", default=None,
                    help="override the experiment's default architecture "
                         "(any models.REGISTRY name, e.g. vit_cifar)")
@@ -297,7 +304,7 @@ def build_parser():
     pi.add_argument("--checkpoint", required=True)
     pi.add_argument("--task-id", type=int, required=True)
     pi.add_argument("--experiment", default="cifar100",
-                    choices=["cifar100", "finegrained", "face"])
+                    choices=["cifar100", "finegrained", "face", "textcls"])
     pi.add_argument("--num-tasks", type=int, default=0)
     pi.add_argument("--batch-size", type=int, default=128)
     pi.add_argument("--synthetic-train-per-class", type=int, default=100)
@@ -340,7 +347,7 @@ def build_parser():
                          "per-layer activation scales so int8 logits are "
                          "batching-invariant (TaskServer.calibrate)")
     pe.add_argument("--experiment", default="cifar100",
-                    choices=["cifar100", "finegrained", "face"],
+                    choices=["cifar100", "finegrained", "face", "textcls"],
                     help="eval preprocess applied during --calibrate (must "
                          "match what `serve` will use, or the calibrated "
                          "activation ranges are wrong)")
@@ -384,7 +391,7 @@ def build_parser():
     pv.add_argument("--out", default=None,
                     help="write logits (+ per-row argmax) to this npz")
     pv.add_argument("--experiment", default="cifar100",
-                    choices=["cifar100", "finegrained", "face"],
+                    choices=["cifar100", "finegrained", "face", "textcls"],
                     help="selects the eval preprocess fn for the artifact")
     pv.add_argument("--fused-chain", action="store_true",
                     help="route bf16 request forwards through the "
@@ -427,7 +434,8 @@ def main(argv=None):
 
         prep = {"cifar100": A.cifar_eval_preprocess,
                 "finegrained": A.imagenet_eval_preprocess,
-                "face": A.face_eval_preprocess}[args.experiment]
+                "face": A.face_eval_preprocess,
+                "textcls": None}[args.experiment]  # tokens: no preprocess
         state = load_state(args.checkpoint)
         srv = TaskServer(state, preprocess_fn=prep,
                          quantize="int8" if args.int8 else None)
@@ -492,7 +500,8 @@ def main(argv=None):
 
         prep = {"cifar100": A.cifar_eval_preprocess,
                 "finegrained": A.imagenet_eval_preprocess,
-                "face": A.face_eval_preprocess}[args.experiment]
+                "face": A.face_eval_preprocess,
+                "textcls": None}[args.experiment]  # tokens: no preprocess
         co = ({"xla_tpu_scoped_vmem_limit_kib": str(args.scoped_vmem_kib)}
               if args.scoped_vmem_kib else None)
         srv = TaskServer.load(args.artifact, preprocess_fn=prep,

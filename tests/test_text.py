@@ -106,3 +106,45 @@ def test_text_serving_matches_predict():
     # distinct token rows give distinct logits (the int32-forward regression
     # collapsed every row to the same vector)
     assert np.abs(want[0] - want[1]).max() > 1e-4
+
+
+def test_text_cli_end_to_end(tmp_path):
+    """CLI reachability of the text family: sequence -> checkpoint ->
+    inference subcommand (tokens, no preprocess)."""
+    import contextlib
+    import io
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    cmd = [
+        sys.executable, "-m", "cpg_tpu", "sequence",
+        "--experiment", "textcls", "--num-tasks", "2",
+        "--batch-size", "64", "--lr", "0.003", "--optimizer", "adamw",
+        "--dtype", "float32", "--finetune-epochs", "2",
+        "--prune-epochs", "1", "--retrain-epochs", "1",
+        "--prune-ratios", "0.3",
+        "--checkpoint-dir", str(tmp_path / "ckpts"),
+    ]
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = ":".join(
+        p for p in env.get("PYTHONPATH", "").split(":")
+        if p and "axon" not in p)  # CPU test: never touch the relay
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1200,
+                         env=env, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = _json.loads(out.stdout.strip().splitlines()[-1])
+    assert len(summary["tasks"]) == 2
+
+    from cpg_tpu.cli import main as cli_main
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main(["inference", "--experiment", "textcls",
+                       "--checkpoint", str(tmp_path / "ckpts" / "task02_text02"),
+                       "--task-id", "1"])
+    assert rc in (0, None)
+    res = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert res["n"] > 0 and res["top1"] > 0.5, res
