@@ -209,3 +209,44 @@ def test_manager_tp_vit_matches_single_device():
         np.testing.assert_allclose(np.asarray(st1.shared[k]),
                                    np.asarray(st2.shared[k]),
                                    rtol=3e-4, atol=3e-6)
+
+
+@pytest.mark.skipif(jax.device_count() < 4, reason="needs 4 fake devices")
+def test_text_embed_gather_model_sharded():
+    """The text family's one new sharded op: a (vocab, D) embedding table
+    model-sharded on D, gathered by token rows inside the masked step —
+    numerics must match the replicated run."""
+    import numpy as np
+
+    from cpg_tpu.data.text import synthetic_text_task
+    from .helpers import ident_augment, tiny_textcls
+
+    d = synthetic_text_task(0, num_classes=4, vocab=64, seq_len=16,
+                            n_train=128, n_test=32)
+    cfg = TrainConfig(lr=3e-3, compute_dtype=jnp.float32, optimizer="adamw")
+
+    def build():
+        state = init_state("tiny_textcls", jax.random.PRNGKey(0))
+        start_task(state, "a", 4, jax.random.PRNGKey(1))
+        state.shared, state.ownership = one_shot_prune(
+            state.shared, state.ownership, 1, jnp.float32(0.5))
+        start_task(state, "b", 4, jax.random.PRNGKey(2))
+        return state
+
+    st1 = build()
+    r1 = Manager(st1, tiny_textcls, 2, d, cfg, batch_size=32,
+                 augment_fn=ident_augment, seed=3,
+                 lr_schedule="constant").train(1)
+
+    st2 = build()
+    mesh = make_mesh(n_data=2, n_model=2, devices=jax.devices()[:4])
+    m2 = Manager(st2, tiny_textcls, 2, d, cfg, batch_size=32,
+                 augment_fn=ident_augment, seed=3, lr_schedule="constant",
+                 mesh=mesh)
+    spec = st2.shared["embed/kernel"].sharding.spec
+    assert len(spec) and spec[-1] == "model", spec
+    r2 = m2.train(1)
+    np.testing.assert_allclose(r1.loss, r2.loss, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(st1.shared["embed/kernel"]),
+        np.asarray(st2.shared["embed/kernel"]), rtol=3e-4, atol=3e-6)
