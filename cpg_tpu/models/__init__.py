@@ -8,7 +8,7 @@ from .resnet import resnet50
 from .spherenet import spherenet20, spherenet_flatten_dims
 from .vgg import vgg16_bn_cifar
 from .text import textcls
-from .vit import vit_cifar
+from .vit import vit_b16, vit_cifar
 
 # arch name -> (model_fn, default input shape HWC; (T,) = token sequence)
 REGISTRY: Dict[str, tuple] = {
@@ -17,6 +17,7 @@ REGISTRY: Dict[str, tuple] = {
     "spherenet20": (spherenet20, (112, 96, 3)),
     # beyond-reference: transformer families (models/vit.py growth law)
     "vit_cifar": (vit_cifar, (32, 32, 3)),
+    "vit_b16": (vit_b16, (224, 224, 3)),
     "textcls": (textcls, (64,)),
 }
 

@@ -115,3 +115,12 @@ def vit_cifar(ctx: Ctx, x, num_classes: int, mult: float = 1.0,
     x = layernorm(ctx, "norm", x)
     x = jnp.mean(x.astype(jnp.float32), axis=1)
     return head(ctx, "classifier", x, num_classes)
+
+
+def vit_b16(ctx: Ctx, x, num_classes: int, mult: float = 1.0):
+    """ViT-B/16 @224 (depth 12, dim 768, heads 12 — the standard production
+    shape; ~86M params at mult 1.0). Same sharable/growth semantics as
+    vit_cifar; timm-pretrained checkpoints load via
+    train/pretrained.convert_torch_vit."""
+    return vit_cifar(ctx, x, num_classes, mult, depth=12, dim=768, heads=12,
+                     patch=16)

@@ -25,7 +25,7 @@ jax.config.update("jax_compilation_cache_dir",
 from bench import PEAK_BF16_TFLOPS, PEAK_HBM_GBPS, _probe_backend
 
 
-def time_step(batch, optimizer="sgd", iters=30, warmup=5):
+def time_step(batch, arch="vit_cifar", optimizer="sgd", iters=30, warmup=5):
     from cpg_tpu.core.pruner import one_shot_prune
     from cpg_tpu.data.augment import cifar_train_augment
     from cpg_tpu.models import get_model
@@ -33,13 +33,13 @@ def time_step(batch, optimizer="sgd", iters=30, warmup=5):
     from cpg_tpu.train.step import TrainConfig, build_train_step
 
     cfg = TrainConfig(compute_dtype=jnp.bfloat16, optimizer=optimizer)
-    state = init_state("vit_cifar", jax.random.PRNGKey(0))
+    state = init_state(arch, jax.random.PRNGKey(0))
     start_task(state, "t1", 5, jax.random.PRNGKey(1))
     state.shared, state.ownership = one_shot_prune(
         state.shared, state.ownership, 1, jnp.float32(0.5))
     start_task(state, "t2", 5, jax.random.PRNGKey(2))
     task = state.tasks[2]
-    model_fn, in_shape = get_model("vit_cifar")
+    model_fn, in_shape = get_model(arch)
     step, (opt_w, opt_pm) = build_train_step(
         model_fn, num_classes=5, mult=1.0, has_piggymask=True, cfg=cfg,
         augment_fn=cifar_train_augment)
@@ -77,40 +77,48 @@ def time_step(batch, optimizer="sgd", iters=30, warmup=5):
     return ms, cost
 
 
-def main():
-    if not _probe_backend():
-        sys.exit(2)
-    out = {"device": str(jax.devices()[0])}
-    best = None
-    for batch in (1024, 4096, 8192):
-        ms, cost = time_step(batch)
+def _roofline(ms, cost):
+    if not cost:
+        return {}
+    gb = cost["bytes"] / 1e9 if cost.get("bytes") else None
+    byte_ms = gb / PEAK_HBM_GBPS * 1e3 if gb else 0.0
+    flop_ms = (cost["flops"] / (PEAK_BF16_TFLOPS * 1e12) * 1e3
+               if cost.get("flops") else 0.0)
+    floor = max(byte_ms, flop_ms)
+    return {"bytes_per_step_gb": round(gb, 2) if gb else None,
+            "hbm_floor_ms": round(byte_ms, 2),
+            "tflop_per_step": round(cost["flops"] / 1e12, 2)
+            if cost.get("flops") else None,
+            "flop_floor_ms": round(flop_ms, 2),
+            "bound": "mxu" if flop_ms > byte_ms else "hbm",
+            "fraction_of_floor": round(floor / ms, 3) if floor else None}
+
+
+def _sweep(arch, batches):
+    rows, best = {}, None
+    for batch in batches:
+        ms, cost = time_step(batch, arch=arch)
         ips = batch * 1e3 / ms
-        out[f"b{batch}"] = {"ms": round(ms, 3), "ips": round(ips, 1)}
+        rows[f"b{batch}"] = {"ms": round(ms, 3), "ips": round(ips, 1)}
         if best is None or ips > best[2]:
             best = (batch, ms, ips, cost)
     batch, ms, ips, cost = best
-    roof = {}
-    if cost:
-        gb = cost["bytes"] / 1e9 if cost.get("bytes") else None
-        byte_ms = gb / PEAK_HBM_GBPS * 1e3 if gb else 0.0
-        flop_ms = (cost["flops"] / (PEAK_BF16_TFLOPS * 1e12) * 1e3
-                   if cost.get("flops") else 0.0)
-        floor = max(byte_ms, flop_ms)
-        roof = {"bytes_per_step_gb": round(gb, 2) if gb else None,
-                "hbm_floor_ms": round(byte_ms, 2),
-                "tflop_per_step": round(cost["flops"] / 1e12, 2)
-                if cost.get("flops") else None,
-                "flop_floor_ms": round(flop_ms, 2),
-                "bound": "mxu" if flop_ms > byte_ms else "hbm",
-                "fraction_of_floor": round(floor / ms, 3)}
+    return {"value": round(ips, 1), "batch": batch, "step_ms": round(ms, 3),
+            "by_batch": rows, "roofline": _roofline(ms, cost)}
+
+
+def main():
+    if not _probe_backend():
+        sys.exit(2)
+    dev = str(jax.devices()[0])
+    small = _sweep("vit_cifar", (1024, 4096, 8192))
+    big = _sweep("vit_b16", (128, 256))
     print(json.dumps({
         "metric": "images_per_sec_per_chip_masked_vit_train",
-        "value": round(ips, 1), "unit": "images/sec/chip",
-        "detail": {"batch": batch, "step_ms": round(ms, 3),
-                   "arch": "vit_cifar (dim256 depth6 heads4 p4)",
-                   "by_batch": {k: v for k, v in out.items()
-                                if k.startswith("b")},
-                   "roofline": roof, "device": out["device"]}}))
+        "value": small["value"], "unit": "images/sec/chip",
+        "detail": {"vit_cifar (dim256 depth6 heads4 p4)": small,
+                   "vit_b16 (dim768 depth12 heads12 p16 @224)": big,
+                   "device": dev}}))
 
 
 if __name__ == "__main__":
