@@ -242,8 +242,8 @@ def _add_common(p):
                    choices=["incremental", "restart"])
     p.add_argument("--lr-schedule", default="cosine",
                    choices=["cosine", "constant", "step", "warmup_cosine"])
-    p.add_argument("--optimizer", default="sgd", choices=["sgd", "adamw"],
-                   help="weight optimizer; adamw + --lr-schedule "
+    p.add_argument("--optimizer", default="sgd", choices=["sgd", "adam"],
+                   help="weight optimizer; adam + --lr-schedule "
                         "warmup_cosine is the transformer recipe "
                         "(--arch vit_cifar)")
     p.add_argument("--goals-file", default=None,
@@ -676,18 +676,24 @@ def main(argv=None):
         z = dict(np.load(args.pretrained_npz))
         st = init_state(arch, jax.random.PRNGKey(args.seed),
                         width_mult=args.network_width_multiplier)
+        private = None
         if any("." in k for k in z):  # torch-style keys: arch's converter
             conv = {"resnet50": P.convert_torch_resnet50,
                     "vgg16_bn_cifar": P.convert_torch_vgg16_bn,
                     "spherenet20": P.convert_torch_spherenet20,
-                    "vit_cifar": P.convert_torch_vit}.get(arch)
+                    "vit_cifar": P.convert_torch_vit,
+                    "vit_b16": P.convert_torch_vit}.get(arch)
             if conv is None:
                 raise SystemExit(f"--pretrained-npz with torch keys: no "
                                  f"converter for arch {arch!r}")
-            shared, _, bn = conv(z)
+            # keep ALL three trees: dropping `private` would adopt a ViT
+            # with random pos_embed/LN affines (or a ResNet with unit BN
+            # affines) — the forward would not be the pretrained net
+            shared, private, bn = conv(z)
         else:
             shared, bn = z, None
-        P.adopt_pretrained_task1(st, "imagenet", 1000, shared, bn_state=bn)
+        P.adopt_pretrained_task1(st, "imagenet", 1000, shared,
+                                 private=private, bn_state=bn)
         init_kw["state"] = st
 
     mesh = None

@@ -407,8 +407,14 @@ def sembed(ctx: Ctx, name: str, ids: jax.Array, vocab: int,
     w = ctx.shared_param(key, (vocab, features), normal_init(0.02))
     if ctx.masking is not None and ctx.mode != "init":
         w = ctx.masked_weight(key, w)
-    return jnp.take(w.astype(ctx.compute_dtype), ids.astype(jnp.int32),
-                    axis=0)
+    ids = ids.astype(jnp.int32)
+    if ctx.quant_scales is not None and key in ctx.quant_scales:
+        # int8 serving (serve._quantize_tree): the table rows are int8 with
+        # per-output-channel scales — gather then dequantize (no activation
+        # quantization: this is a lookup, not a matmul)
+        return jnp.take(w, ids, axis=0).astype(jnp.float32) \
+            * ctx.quant_scales[key]
+    return jnp.take(w.astype(ctx.compute_dtype), ids, axis=0)
 
 
 LN_EPS = 1e-6

@@ -42,7 +42,7 @@ def _lr_at(base_lr: float, epoch: int, total_epochs: int, schedule: str) -> floa
         return 0.5 * base_lr * (1 + math.cos(math.pi * epoch / max(total_epochs, 1)))
     if schedule == "warmup_cosine":
         # transformer-standard: linear warmup over the first 10% of epochs
-        # (>=1), then the cosine walk over the rest (models/vit.py + adamw)
+        # (>=1), then the cosine walk over the rest (models/vit.py + adam)
         warm = max(1, int(0.1 * total_epochs))
         if epoch < warm:
             return base_lr * (epoch + 1) / warm

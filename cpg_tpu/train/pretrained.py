@@ -51,7 +51,14 @@ def adopt_pretrained_task1(
                             model_fn, jnp.zeros((1, *in_shape)),
                             num_classes=num_classes, mult=state.width_mult)
     if private:
-        priv0 = {**priv0, **{k: jnp.asarray(v) for k, v in private.items()}}
+        for k, v in private.items():
+            v = jnp.asarray(v)
+            if k in priv0 and tuple(v.shape) != tuple(priv0[k].shape):
+                # e.g. a pretrained head whose class count differs from the
+                # adopted task's — keep the fresh one rather than installing
+                # a shape the forward was not built for
+                continue
+            priv0[k] = v
     if bn_state:
         bn0 = {**bn0, **{k: jnp.asarray(v) for k, v in bn_state.items()}}
     state.tasks[1] = TaskEntry(name=name, num_classes=num_classes,

@@ -36,11 +36,15 @@ class TrainConfig:
     lr_mask: float = 1e-4           # Adam lr for piggymasks (ref --lr_mask)
     momentum: float = 0.9
     optimizer: str = "sgd"          # weight optimizer: 'sgd' (ref-faithful,
-                                    # momentum + selective decay in gating)
-                                    # | 'adamw' (transformer-standard;
-                                    # models/vit.py — decoupled decay rides
-                                    # the same selective-decay gating, so
-                                    # optax's own weight_decay stays 0)
+                                    # momentum) | 'adam' (transformer recipe;
+                                    # models/vit.py). Weight decay in BOTH
+                                    # cases is the selective per-task L2 that
+                                    # core/gating.py adds to the gradient
+                                    # BEFORE the optimizer (decaying frozen
+                                    # prior-task weights would be a
+                                    # forgetting bug) — i.e. Adam+L2, NOT
+                                    # decoupled AdamW; set weight_decay=0 if
+                                    # pure Adam is wanted.
     weight_decay: float = 4e-5      # applied ONLY to current-task weights
     threshold: float = DEFAULT_THRESHOLD
     compute_dtype: Any = jnp.bfloat16  # MXU-friendly; masking happens in f32
@@ -98,24 +102,24 @@ def make_optimizers(cfg: TrainConfig):
             tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), tx)
         return tx
 
-    def adamw(learning_rate):
-        # selective weight decay is applied by core/gating.py (current-task
-        # entries only — decaying frozen prior-task weights would be a
-        # forgetting bug), so optax's decoupled decay stays off here
+    def adam(learning_rate):
+        # weight decay arrives in the GRADIENT (core/gating.py selective
+        # per-task L2) — so this is Adam+L2, not decoupled AdamW; see the
+        # TrainConfig.optimizer comment
         tx = optax.adam(learning_rate)
         if cfg.grad_clip_norm:
             tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), tx)
         return tx
 
-    if cfg.optimizer == "adamw":
-        opt_w = optax.inject_hyperparams(adamw)(learning_rate=cfg.lr)
+    if cfg.optimizer == "adam":
+        opt_w = optax.inject_hyperparams(adam)(learning_rate=cfg.lr)
     elif cfg.optimizer == "sgd":
         opt_w = optax.inject_hyperparams(sgd)(
             learning_rate=cfg.lr, momentum=cfg.momentum
         )
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r} "
-                         "(expected 'sgd' | 'adamw')")
+                         "(expected 'sgd' | 'adam')")
     opt_pm = optax.inject_hyperparams(optax.adam)(learning_rate=cfg.lr_mask)
     return opt_w, opt_pm
 

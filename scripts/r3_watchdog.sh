@@ -24,15 +24,38 @@ relay_up() {
 }
 
 ck_mtime() {  # newest mtime across both leg dirs (epoch seconds)
-  { find "$CK" "$CK2" -newer /dev/null -printf '%T@\n' 2>/dev/null || true; } \
+  { find "$CK" "$CK2" -printf '%T@\n' 2>/dev/null || true; } \
     | sort -n | tail -1 | cut -d. -f1
 }
 
 cycle_alive() {
-  [ -f /tmp/cycle_r3b.pid ] && kill -0 "$(cat /tmp/cycle_r3b.pid)" 2>/dev/null
+  # trust the pidfile only if the pid is alive AND is actually our cycle
+  # (pids recycle; /tmp is cleaned on reboot)
+  [ -f /tmp/cycle_r3b.pid ] || return 1
+  local p; p=$(cat /tmp/cycle_r3b.pid)
+  kill -0 "$p" 2>/dev/null || return 1
+  grep -q tpu_cycle_r3 "/proc/$p/cmdline" 2>/dev/null
+}
+
+any_cycle_running() {
+  # detect a cycle THIS watchdog didn't start (stale/removed pidfile) —
+  # launching a second one would share the chip's HBM (CLAUDE.md OOM trap).
+  # Inspection only; never used to kill.
+  local d
+  for d in /proc/[0-9]*; do
+    grep -q tpu_cycle_r3 "$d/cmdline" 2>/dev/null && {
+      basename "$d"; return 0; }
+  done
+  return 1
 }
 
 launch_cycle() {
+  local other
+  if other=$(any_cycle_running); then
+    log "adopting already-running cycle pid $other (no second launch)"
+    echo "$other" > /tmp/cycle_r3b.pid
+    return
+  fi
   log "launching cycle --skip-a"
   setsid nohup $PY scripts/tpu_cycle_r3.py --skip-a \
     >> /tmp/cycle_r3b.log 2>> /tmp/cycle_r3b.err < /dev/null &

@@ -91,16 +91,22 @@ def leg_b_budgets(out, t0):
     cfg = TrainConfig(lr=0.02, compute_dtype=jnp.bfloat16)
     # baselines are deterministic (fixed seeds, synthetic data), so a
     # relay-outage relaunch reuses the saved file instead of re-spending
-    # ~25 TPU-minutes
+    # ~25 TPU-minutes — but ONLY when the calibration config that produced
+    # them matches (this leg was recalibrated once already; a silent reuse
+    # across a config change would run the whole A/B off wrong goals)
+    bl_cfg = {"arch": "vgg16_bn_cifar", "noise": 2.5, "n_train": 150,
+              "n_test": 60, "epochs": 6, "batch": batch, "lr": 0.02}
     try:
         goals = json.load(open("baseline_acc_r3_legB.json"))
         assert set(goals) == set(tasks)
+        assert json.load(open("baseline_acc_r3_legB.meta.json")) == bl_cfg
     except Exception:
         goals = train_individual_baselines(
             "vgg16_bn_cifar", tasks, cfg, epochs=6, batch_size=batch,
             augment_fn=A.cifar_train_augment,
             preprocess_fn=A.cifar_eval_preprocess,
             acc_file="baseline_acc_r3_legB.json")
+        json.dump(bl_cfg, open("baseline_acc_r3_legB.meta.json", "w"))
     print(f"[{time.time()-t0:.0f}s] leg B baselines: "
           f"min={min(goals.values()):.3f} "
           f"avg={sum(goals.values())/len(goals):.3f}", flush=True)

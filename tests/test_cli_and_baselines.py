@@ -277,6 +277,7 @@ def test_cli_pretrained_npz_vit(tmp_path):
         "--synthetic-train-per-class", "20",
         "--synthetic-test-per-class", "5",
         "--pretrained-npz", str(npz),
+        "--checkpoint-dir", str(tmp_path / "ckpts"),
     ]
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -289,3 +290,24 @@ def test_cli_pretrained_npz_vit(tmp_path):
     summary = json.loads(out.stdout.strip().splitlines()[-1])
     # task 1 is the adopted pretrained net, so the synthetic task is task 2
     assert len(summary["tasks"]) == 1
+
+    # the adopted task 1 must BE the pretrained net, not just its shared
+    # kernels: the private tree (pos_embed with the patch bias folded in,
+    # LN affines) must have been installed too
+    import glob
+
+    from cpg_tpu.utils.checkpoint import load_state
+
+    ck = sorted(glob.glob(str(tmp_path / "ckpts" / "task*")))[-1]
+    st = load_state(ck)
+    want_pos = sd["pos"] + sd["patch.bias"]
+    np.testing.assert_allclose(
+        np.asarray(st.tasks[1].private["patch/pos_embed"]), want_pos,
+        rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(st.tasks[1].private["blocks/0/ln1/scale"]),
+        sd["blocks.0.ln1.weight"], rtol=1e-6, atol=1e-6)
+    # the torch q bias was adopted; conv kernels landed in shared
+    np.testing.assert_allclose(
+        np.asarray(st.tasks[1].private["blocks/0/attn/q/bias"]),
+        sd["blocks.0.q.bias"], rtol=1e-6, atol=1e-6)

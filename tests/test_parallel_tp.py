@@ -223,7 +223,7 @@ def test_text_embed_gather_model_sharded():
 
     d = synthetic_text_task(0, num_classes=4, vocab=64, seq_len=16,
                             n_train=128, n_test=32)
-    cfg = TrainConfig(lr=3e-3, compute_dtype=jnp.float32, optimizer="adamw")
+    cfg = TrainConfig(lr=3e-3, compute_dtype=jnp.float32, optimizer="adam")
 
     def build():
         state = init_state("tiny_textcls", jax.random.PRNGKey(0))

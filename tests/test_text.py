@@ -23,7 +23,7 @@ def _task(seed, num_classes=4):
 
 def _cfg():
     return TrainConfig(lr=3e-3, lr_mask=1e-3, compute_dtype=jnp.float32,
-                       optimizer="adamw")
+                       optimizer="adam")
 
 
 def _manager(state, task_id, data, seed=0):
@@ -106,6 +106,15 @@ def test_text_serving_matches_predict():
     # distinct token rows give distinct logits (the int32-forward regression
     # collapsed every row to the same vector)
     assert np.abs(want[0] - want[1]).max() > 1e-4
+    # int8 PTQ: sembed must DEQUANTIZE the gathered table rows (a raw int8
+    # gather scales embeddings by ~127/|w| and garbles every logit); the
+    # serving contract is top-1 agreement with bf16
+    srv8 = TaskServer(state, quantize="int8", compute_dtype=jnp.float32,
+                      min_bucket=4)
+    got8 = srv8.predict(1, d["test_x"][:32])
+    ref = np.array(predict(state, 1, jnp.asarray(d["test_x"][:32])))
+    agree = (np.argmax(got8, -1) == np.argmax(ref, -1)).mean()
+    assert agree >= 0.9, f"int8 text top-1 agreement {agree}"
 
 
 def test_text_cli_end_to_end(tmp_path):
@@ -121,7 +130,7 @@ def test_text_cli_end_to_end(tmp_path):
     cmd = [
         sys.executable, "-m", "cpg_tpu", "sequence",
         "--experiment", "textcls", "--num-tasks", "2",
-        "--batch-size", "64", "--lr", "0.003", "--optimizer", "adamw",
+        "--batch-size", "64", "--lr", "0.003", "--optimizer", "adam",
         "--dtype", "float32", "--finetune-epochs", "2",
         "--prune-epochs", "1", "--retrain-epochs", "1",
         "--prune-ratios", "0.3",

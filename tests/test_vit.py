@@ -95,15 +95,19 @@ def test_vit_grow_preserves_old_task():
     assert state.shared["blocks/0/mlp/fc2/kernel"].shape == (192, 32)
     assert state.shared["patch/proj/kernel"].shape == (8, 8, 3, 32)
 
+    # across GROW the math is exact but the XLA program changes shape (wider
+    # K dots may reassociate) — tight allclose per the repo convention
+    # (CLAUDE.md invariants; same as the SphereNet/text growth tests)
     after = predict(state, 1, x)
-    np.testing.assert_array_equal(np.array(before), np.array(after))
+    np.testing.assert_allclose(np.array(before), np.array(after),
+                               rtol=2e-6, atol=2e-6)
     assert float(free_ratio(state.ownership)) > 0.3
 
 
-def test_vit_adamw_warmup_recipe_and_no_forgetting():
-    """The transformer recipe (optimizer='adamw' + warmup_cosine) trains the
+def test_vit_adam_warmup_recipe_and_no_forgetting():
+    """The transformer recipe (optimizer='adam' + warmup_cosine) trains the
     ViT, and Adam's stateful moments still respect gradient gating: task-1
-    logits stay BIT-exact while task 2 trains with adamw."""
+    logits stay BIT-exact while task 2 trains with adam (stateful moments must respect gating)."""
     from cpg_tpu.train.manager import _lr_at
 
     # warmup_cosine shape: linear ramp then cosine to ~0
@@ -114,14 +118,14 @@ def test_vit_adamw_warmup_recipe_and_no_forgetting():
     data1 = synthetic_task(0)
     data2 = synthetic_task(7, num_classes=3)
     cfg = TrainConfig(lr=3e-3, lr_mask=1e-3, compute_dtype=jnp.float32,
-                      optimizer="adamw")
+                      optimizer="adam")
     state = init_state("tiny_vit", jax.random.PRNGKey(0))
     start_task(state, "a", data1["num_classes"], jax.random.PRNGKey(1))
     mgr1 = Manager(state, tiny_vit, 1, data1, cfg, batch_size=32,
                    lr_schedule="warmup_cosine", augment_fn=norm_augment,
                    preprocess_fn=normalize01)
     res = mgr1.train(epochs=10)
-    assert res.acc > 0.7, f"adamw vit failed to learn: acc={res.acc}"
+    assert res.acc > 0.7, f"adam vit failed to learn: acc={res.acc}"
     mgr1.train(epochs=4, prune_to=0.5, prune_freq=5, base_lr=1e-3)
     x = normalize01(jnp.asarray(data1["test_x"][:8]))
     before = predict(state, 1, x)
@@ -192,9 +196,12 @@ def test_vit_grown_capacity_trains_new_task_without_forgetting():
     before = predict(state, 1, x)
 
     grow_state(state, 2.0, jax.random.PRNGKey(9))
+    # rebaseline at the grown program shape (allclose across the shape
+    # change, BIT-equal within it — repo growth convention)
+    after = np.array(predict(state, 1, x))
+    np.testing.assert_allclose(np.array(before), after, rtol=2e-6, atol=2e-6)
     start_task(state, "b", data2["num_classes"], jax.random.PRNGKey(2))
     mgr2 = _manager(state, 2, data2, seed=1)
     res = mgr2.train(epochs=10)
     assert res.acc > 0.55, f"grown vit task-2 failed to learn: {res.acc}"
-    np.testing.assert_array_equal(np.array(before),
-                                  np.array(predict(state, 1, x)))
+    np.testing.assert_array_equal(after, np.array(predict(state, 1, x)))
