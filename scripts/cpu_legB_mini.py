@@ -29,25 +29,32 @@ from cpg_tpu.train.step import TrainConfig
 
 def main():
     t0 = time.time()
+    # --small: sized for a SINGLE CPU core in ~2h (3 tasks, one growth step
+    # to 1.5, reduced budgets); default matches the TPU leg at 4 tasks
+    small = "--small" in sys.argv
+    n_tasks, fe, pe, re = (3, 4, 2, 2) if small else (4, 6, 3, 3)
+    ratios = (0.3, 0.6) if small else (0.2, 0.4, 0.6)
     tasks = task_splits(synthetic_kwargs={
-        "n_train_per_class": 150, "n_test_per_class": 60, "noise": 2.5})
-    tasks = dict(list(tasks.items())[:4])
+        "n_train_per_class": 100 if small else 150,
+        "n_test_per_class": 60, "noise": 2.5})
+    tasks = dict(list(tasks.items())[:n_tasks])
     cfg = TrainConfig(lr=0.02, compute_dtype=jnp.float32)
     goals = train_individual_baselines(
-        "vgg16_bn_cifar", tasks, cfg, epochs=6, batch_size=128,
+        "vgg16_bn_cifar", tasks, cfg, epochs=fe, batch_size=128,
         augment_fn=A.cifar_train_augment,
         preprocess_fn=A.cifar_eval_preprocess)
     print(f"[{time.time()-t0:.0f}s] baselines "
           f"avg={sum(goals.values())/len(goals):.3f}", flush=True)
     forced = list(tasks)[1]
     goals_forced = dict(goals, **{forced: 1.1})
-    out = {"backend": jax.default_backend(), "goals": goals,
+    out = {"backend": jax.default_backend(), "goals": goals, "small": small,
            "n_tasks": len(tasks), "forced": forced}
     for scale in (0.0, 1.0):
         seq = SequenceConfig(
-            finetune_epochs=6, prune_epochs=3, retrain_epochs=3,
-            prune_ratios=(0.2, 0.4, 0.6), batch_size=128, lr=0.02,
+            finetune_epochs=fe, prune_epochs=pe, retrain_epochs=re,
+            prune_ratios=ratios, batch_size=128, lr=0.02,
             on_goal_miss="accept", verify_growth=True,
+            max_width_mult=1.5 if small else 2.0,
             growth_epoch_scale=scale)
         state, reports = run_sequence(
             "vgg16_bn_cifar", tasks, cfg, seq, goals=goals_forced,
