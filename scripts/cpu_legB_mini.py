@@ -29,14 +29,15 @@ from cpg_tpu.train.step import TrainConfig
 
 def main():
     t0 = time.time()
-    # --small: sized for a SINGLE CPU core in ~2h (3 tasks, one growth step
-    # to 1.5, reduced budgets); default matches the TPU leg at 4 tasks
+    # --small: sized for a SINGLE CPU core in ~3h (3 tasks, one growth step
+    # to 1.5, fewer ratios/prune epochs); the DATA/finetune budget stays at
+    # the calibrated regime (150/class, 6 epochs, b128 — measured 2026-08-17
+    # on chip: the steep part of the curve; 100/class @4 epochs was CHANCE)
     small = "--small" in sys.argv
-    n_tasks, fe, pe, re = (3, 4, 2, 2) if small else (4, 6, 3, 3)
+    n_tasks, fe, pe, re = (3, 6, 2, 2) if small else (4, 6, 3, 3)
     ratios = (0.3, 0.6) if small else (0.2, 0.4, 0.6)
     tasks = task_splits(synthetic_kwargs={
-        "n_train_per_class": 100 if small else 150,
-        "n_test_per_class": 60, "noise": 2.5})
+        "n_train_per_class": 150, "n_test_per_class": 60, "noise": 2.5})
     tasks = dict(list(tasks.items())[:n_tasks])
     cfg = TrainConfig(lr=0.02, compute_dtype=jnp.float32)
     goals = train_individual_baselines(
