@@ -21,7 +21,6 @@ order-sensitive tasks.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from .framework import Ctx, head, layernorm, normal_init, sembed
