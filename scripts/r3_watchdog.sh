@@ -108,4 +108,12 @@ timeout 3600 $PY scripts/perf_vit.py > PERF_vit_r3.json 2>> "$LOG" \
 log "running bench"
 timeout 3600 $PY bench.py > BENCH_local_r3.json 2>> "$LOG" \
   && log "bench ok" || log "bench FAILED"
+log "running 20-task PAE row (paper Exp-1 trio: CPG/PackNet/PAE)"
+timeout 7200 $PY -m cpg_tpu pae --experiment cifar100 \
+  --synthetic-train-per-class 400 --synthetic-test-per-class 80 \
+  --batch-size 256 --lr 0.02 --dtype bfloat16 \
+  --finetune-epochs 10 --prune-epochs 4 --retrain-epochs 4 \
+  --prune-ratios 0.2 0.4 0.6 0.8 --goals-file baseline_acc_r2.json \
+  > PAE_r3.json 2>> "$LOG" \
+  && log "pae ok" || log "pae FAILED"
 log "watchdog done"
