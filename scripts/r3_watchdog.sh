@@ -1,13 +1,13 @@
 #!/bin/bash
-# Round-3 relay-outage watchdog. Loops until the queued TPU work is done:
-#   1. probe the relay (subprocess + timeout — a wedged relay hangs forever);
-#   2. when up: if the leg-B cycle is stalled (no checkpoint-dir mtime
-#      progress for 15 min) or dead, kill the RECORDED pid (never by
-#      pattern) and relaunch tpu_cycle_r3.py --skip-a (resumes from
-#      fingerprinted checkpoints + cached baselines);
-#   3. when RESULTS_r3_cycle.json exists: run env_probe, perf_vit, bench —
-#      one at a time (never share the chip), then exit.
-# Log: /tmp/r3_watchdog.log. Pid of the managed cycle: /tmp/cycle_r3b.pid.
+# Round-3 relay-outage watchdog. On relay recovery:
+#   1. FIRST drain the quick measurements (env_probe ~3min, perf_vit ~25min,
+#      bench ~15min, 20-task PAE row ~30min) — banks the round's numbers
+#      even if the round ends before the long cycle completes;
+#   2. THEN run/resume the leg-B cycle (tpu_cycle_r3.py --skip-a — resumes
+#      from fingerprinted checkpoints + cached baselines, also across
+#      rounds), babysitting it: if it stalls >15 min with the relay up, kill
+#      the RECORDED pid (never by pattern) and relaunch.
+# Log: /tmp/r3_watchdog.log. Cycle pid: /tmp/cycle_r3b.pid.
 set -u
 cd /root/repo
 PY=/opt/venv/bin/python
@@ -16,6 +16,7 @@ export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
 LOG=/tmp/r3_watchdog.log
 CK=ck_r3_legB_s0
 CK2=ck_r3_legB_s1
+DRAIN_STAMP=/tmp/r3_drain_done
 
 log() { echo "$(date -u +%H:%M:%S) $*" >> "$LOG"; }
 
@@ -62,7 +63,41 @@ launch_cycle() {
   echo $! > /tmp/cycle_r3b.pid
 }
 
-log "watchdog start"
+drain_measurements() {
+  # one at a time — never share the chip
+  log "drain: env_probe"
+  timeout 1800 $PY scripts/env_probe.py > ENV_PROBE_r3.json 2>> "$LOG" \
+    && log "env_probe ok" || log "env_probe FAILED"
+  log "drain: perf_vit"
+  timeout 3600 $PY scripts/perf_vit.py > PERF_vit_r3.json 2>> "$LOG" \
+    && log "perf_vit ok" || log "perf_vit FAILED"
+  log "drain: bench"
+  timeout 3600 $PY bench.py > BENCH_local_r3.json 2>> "$LOG" \
+    && log "bench ok" || log "bench FAILED"
+  log "drain: 20-task PAE row (paper Exp-1 trio)"
+  timeout 7200 $PY -m cpg_tpu pae --experiment cifar100 \
+    --synthetic-train-per-class 400 --synthetic-test-per-class 80 \
+    --batch-size 256 --lr 0.02 --dtype bfloat16 \
+    --finetune-epochs 10 --prune-epochs 4 --retrain-epochs 4 \
+    --prune-ratios 0.2 0.4 0.6 0.8 --goals-file baseline_acc_r2.json \
+    > PAE_r3.json 2>> "$LOG" \
+    && log "pae ok" || log "pae FAILED"
+  touch "$DRAIN_STAMP"
+}
+
+log "watchdog start (drain-first ordering)"
+# Phase 1: wait for the relay, then bank the quick measurements once
+while [ ! -f "$DRAIN_STAMP" ]; do
+  if relay_up; then
+    log "relay UP — draining quick measurements before the cycle"
+    drain_measurements
+    break
+  fi
+  log "relay down"
+  sleep 120
+done
+
+# Phase 2: run/resume the leg-B cycle until RESULTS_r3_cycle.json exists
 STALL_SINCE=""
 while [ ! -f RESULTS_r3_cycle.json ]; do
   if ! relay_up; then
@@ -72,7 +107,7 @@ while [ ! -f RESULTS_r3_cycle.json ]; do
     continue
   fi
   if ! cycle_alive; then
-    log "relay up, cycle dead -> relaunch"
+    log "relay up, cycle dead -> launch/adopt"
     launch_cycle
     STALL_SINCE=""
     sleep 180
@@ -98,22 +133,4 @@ while [ ! -f RESULTS_r3_cycle.json ]; do
   log "cycle progressing (ck age $((NOW - ${M:-NOW}))s)"
   sleep 180
 done
-
-log "cycle done; running env_probe"
-timeout 1800 $PY scripts/env_probe.py > ENV_PROBE_r3.json 2>> "$LOG" \
-  && log "env_probe ok" || log "env_probe FAILED"
-log "running perf_vit"
-timeout 3600 $PY scripts/perf_vit.py > PERF_vit_r3.json 2>> "$LOG" \
-  && log "perf_vit ok" || log "perf_vit FAILED"
-log "running bench"
-timeout 3600 $PY bench.py > BENCH_local_r3.json 2>> "$LOG" \
-  && log "bench ok" || log "bench FAILED"
-log "running 20-task PAE row (paper Exp-1 trio: CPG/PackNet/PAE)"
-timeout 7200 $PY -m cpg_tpu pae --experiment cifar100 \
-  --synthetic-train-per-class 400 --synthetic-test-per-class 80 \
-  --batch-size 256 --lr 0.02 --dtype bfloat16 \
-  --finetune-epochs 10 --prune-epochs 4 --retrain-epochs 4 \
-  --prune-ratios 0.2 0.4 0.6 0.8 --goals-file baseline_acc_r2.json \
-  > PAE_r3.json 2>> "$LOG" \
-  && log "pae ok" || log "pae FAILED"
-log "watchdog done"
+log "watchdog done (cycle complete)"
