@@ -134,3 +134,21 @@ while [ ! -f RESULTS_r3_cycle.json ]; do
   sleep 180
 done
 log "watchdog done (cycle complete)"
+
+# Phase 3: the 20-task PAE row (paper Exp-1 trio) — only after the cycle,
+# never sharing the chip; skip if already banked.
+if [ ! -f PAE_r3.json ]; then
+  if relay_up; then
+    log "phase 3: PAE row"
+    timeout 7200 $PY -m cpg_tpu pae --experiment cifar100 \
+      --synthetic-train-per-class 400 --synthetic-test-per-class 80 \
+      --batch-size 256 --lr 0.02 --dtype bfloat16 \
+      --finetune-epochs 10 --prune-epochs 4 --retrain-epochs 4 \
+      --prune-ratios 0.2 0.4 0.6 0.8 --goals-file baseline_acc_r2.json \
+      > PAE_r3.json 2>> "$LOG" \
+      && log "pae ok" || log "pae FAILED"
+  else
+    log "phase 3 skipped: relay down"
+  fi
+fi
+log "watchdog exit"
