@@ -281,7 +281,14 @@ def _add_common(p):
                         "axis; grads psum over ICI")
     p.add_argument("--parallel-model", type=int, default=1, metavar="M",
                    help="model-axis size within --parallel (output-channel "
-                        "sharded kernels for wide grown networks)")
+                        "sharded kernels for wide grown networks; MoE "
+                        "archs shard whole experts on this axis)")
+    p.add_argument("--shard-activations", action="store_true",
+                   help="with --parallel-model > 1: also shard transformer "
+                        "token activations (sequence parallelism) and MoE "
+                        "dispatch tensors (expert parallelism) over the "
+                        "model axis at the models' labeled seams "
+                        "(parallel/mesh.act_sharder)")
     p.add_argument("--memmap-dir", default=None,
                    help="directory of per-task memmapped datasets "
                         "(data/stream.save_memmap_dataset layout); overrides "
@@ -709,8 +716,17 @@ def main(argv=None):
                 f"{n} devices, have {_jax.device_count()}")
         mesh = make_mesh(n_data=args.parallel, n_model=args.parallel_model)
 
+    cfg = _train_cfg(args)
+    if mesh is not None and getattr(args, "shard_activations", False):
+        import dataclasses as _dc
+
+        from .parallel.mesh import act_sharder
+
+        cfg = _dc.replace(cfg, act_sharder=act_sharder(
+            mesh, tokens=True, experts=True))
+
     state, reports = runner(
-        arch, tasks, _train_cfg(args), _seq_cfg(args), goals=goals,
+        arch, tasks, cfg, _seq_cfg(args), goals=goals,
         augment_fn=aug, preprocess_fn=prep,
         width_mult=args.network_width_multiplier,
         record_dir=args.record_dir, mesh=mesh, **init_kw,

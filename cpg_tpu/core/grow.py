@@ -112,6 +112,11 @@ _PRIVATE_FILL = {
     "kernel": 0.0,  # head kernel: new feature rows MUST be zero
     "mean": 0.0,    # BN running mean
     "var": 1.0,     # BN running var
+    # MoE router bias (models/moe.py): grown expert columns MUST be
+    # unreachable for old tasks — -1e9 makes their softmax mass exactly 0.0
+    # in f32 and their argmax unreachable, so old-task routing is
+    # bit-identical across expert growth (kernel columns pad 0 like heads)
+    "gate_bias": -1e9,
 }
 
 

@@ -7,6 +7,7 @@ from typing import Callable, Dict, Optional, Tuple
 from .resnet import resnet50
 from .spherenet import spherenet20, spherenet_flatten_dims
 from .vgg import vgg16_bn_cifar
+from .moe import vit_moe_cifar
 from .text import textcls
 from .vit import vit_b16, vit_cifar
 
@@ -18,6 +19,7 @@ REGISTRY: Dict[str, tuple] = {
     # beyond-reference: transformer families (models/vit.py growth law)
     "vit_cifar": (vit_cifar, (32, 32, 3)),
     "vit_b16": (vit_b16, (224, 224, 3)),
+    "vit_moe_cifar": (vit_moe_cifar, (32, 32, 3)),
     "textcls": (textcls, (64,)),
 }
 

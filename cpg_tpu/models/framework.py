@@ -112,6 +112,20 @@ class Ctx:
     # convs never touches HBM. Honored by fused_bn_relu_sconv call sites
     # (VGG); ignored during init and under int8 serving.
     fused_chain: bool = False
+    # activation-sharding hook (parallel/mesh.act_sharder): a callable
+    # (array, tag) -> array that models call at labeled seams —
+    # `"tokens"` on (N, T, D) transformer activations (sequence parallelism:
+    # tokens sharded over the model axis, XLA all-gathers only for attention)
+    # and `"experts"` on (N, E, C, D) MoE dispatch tensors (expert
+    # parallelism: per-expert FFNs run where their weights live). None (the
+    # default) = no constraints; models stay mesh-agnostic.
+    act_sharder: Optional[Callable] = None
+
+    def constrain(self, x, tag: str):
+        """Apply the activation-sharding constraint for `tag`, if any."""
+        if self.act_sharder is None:
+            return x
+        return self.act_sharder(x, tag)
 
     # -- param accessors ----------------------------------------------------
     def shared_param(self, name, shape, init_fn):
@@ -517,6 +531,7 @@ def apply(
     act_scales: Optional[Dict] = None,
     act_stats: Optional[Dict] = None,
     fused_chain: bool = False,
+    act_sharder: Optional[Callable] = None,
     **kwargs,
 ):
     """Run the model. With `masking=None` (default), `shared` must hold
@@ -539,6 +554,7 @@ def apply(
         act_scales=act_scales,
         act_stats=act_stats,
         fused_chain=fused_chain,
+        act_sharder=act_sharder,
     )
     out = model_fn(ctx, x, **kwargs)
     return out, ctx.new_bn_state

@@ -86,6 +86,18 @@ def mlp(ctx: Ctx, name: str, x, hidden: int):
     return x2.reshape(n, t, d)
 
 
+def vit_block(ctx: Ctx, x, heads_n: int, head_dim: int, hidden: int):
+    """One pre-LN encoder block with RELATIVE param names (attn/..., ln1/...,
+    mlp/..., ln2/...). vit_cifar uses the absolute `blocks/{i}/` spelling of
+    the same math; this relative form is what parallel/pipeline.py stages
+    over (params for block i are sliced out of the stacked tree and fed back
+    under these names)."""
+    x = x + attention(ctx, "attn", layernorm(ctx, "ln1", x), heads_n,
+                      head_dim)
+    x = x + mlp(ctx, "mlp", layernorm(ctx, "ln2", x), hidden)
+    return x
+
+
 def vit_cifar(ctx: Ctx, x, num_classes: int, mult: float = 1.0,
               depth: int = 6, dim: int = 256, heads: int = 4,
               patch: int = 4, mlp_ratio: int = 4):
@@ -106,12 +118,18 @@ def vit_cifar(ctx: Ctx, x, num_classes: int, mult: float = 1.0,
     x = x.reshape(n, t, dim)
     pos = ctx.private_param("patch/pos_embed", (t, dim), normal_init(0.02))
     x = (x + pos).astype(ctx.compute_dtype)
+    # sequence-parallel seam: under parallel/mesh.act_sharder the token axis
+    # shards over the model axis here and at every block boundary — LN and
+    # the MLP are per-token (stay local); XLA all-gathers k/v only where
+    # attention actually mixes tokens.
+    x = ctx.constrain(x, "tokens")
     for i in range(depth):
         x = x + attention(ctx, f"blocks/{i}/attn",
                           layernorm(ctx, f"blocks/{i}/ln1", x),
                           heads_n, head_dim)
         x = x + mlp(ctx, f"blocks/{i}/mlp",
                     layernorm(ctx, f"blocks/{i}/ln2", x), hidden)
+        x = ctx.constrain(x, "tokens")
     x = layernorm(ctx, "norm", x)
     x = jnp.mean(x.astype(jnp.float32), axis=1)
     return head(ctx, "classifier", x, num_classes)

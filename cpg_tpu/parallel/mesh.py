@@ -55,19 +55,80 @@ def _kernel_spec(name: str, ndim: int, model_sharded: bool) -> P:
     return P(*([None] * (ndim - 1) + ["model"]))
 
 
+def _expert_spec(ndim: int) -> P:
+    """Expert-parallel sharding for stacked MoE kernels (models/moe.py
+    smoe: (E, in, out)): the EXPERT axis shards over `model`, so each
+    chip holds whole experts and tokens travel to their expert's chip
+    (XLA lowers the dispatch einsums to all-to-alls) instead of every
+    chip holding a slice of every expert."""
+    return P(*(["model"] + [None] * (ndim - 1)))
+
+
 def shared_shardings(mesh: Mesh, shared, model_sharded: bool = False):
     """Shardings for shared weights AND their parallel pytrees (ownership,
-    piggymask — same shapes, same placement)."""
-    return jax.tree.map(
-        lambda w: NamedSharding(
-            mesh, _kernel_spec("", w.ndim, model_sharded and w.shape[-1] % mesh.shape["model"] == 0)
-        ),
-        shared,
-    )
+    piggymask — same shapes, same placement).
+
+    Kernel rule under `model_sharded`: output-channel sharding
+    (`_kernel_spec`), except keys under an `/experts/` scope — MoE stacked
+    kernels — which shard their leading EXPERT axis instead (EP; the mask /
+    ownership / piggymask trees shard identically, so binarize/select/gating
+    stay chip-local either way). Axes that don't divide evenly stay
+    replicated."""
+    n_model = dict(mesh.shape).get("model", 1)
+
+    def spec(name: str, w) -> NamedSharding:
+        if not model_sharded:
+            return NamedSharding(mesh, P())
+        if "/experts/" in name and w.shape[0] % n_model == 0:
+            return NamedSharding(mesh, _expert_spec(w.ndim))
+        return NamedSharding(
+            mesh, _kernel_spec(name, w.ndim, w.shape[-1] % n_model == 0))
+
+    if isinstance(shared, dict):
+        return {k: spec(k, w) for k, w in shared.items()}
+    return jax.tree.map(lambda w: spec("", w), shared)
 
 
 def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
+
+
+def act_sharder(mesh: Mesh, tokens: bool = False, experts: bool = False):
+    """Activation-sharding hook for models (framework.Ctx.act_sharder).
+
+    Returns a callable (array, tag) -> array applying
+    `jax.lax.with_sharding_constraint` at the model's labeled seams:
+
+      * tag `"tokens"` on (N, T, D) transformer activations — SEQUENCE
+        PARALLELISM: batch over the data axes, the token axis over `model`.
+        LayerNorm / MLPs / routers are per-token and stay chip-local; XLA
+        inserts all-gathers only around attention's token mixing.
+      * tag `"experts"` on (N, E, C, D) MoE dispatch tensors — EXPERT
+        PARALLELISM: the expert axis over `model`, matching the
+        expert-kernel layout of `shared_shardings` so each expert's FFN
+        runs on the chip that owns its weights.
+
+    Constraints are skipped for arrays whose axis doesn't divide the mesh
+    (e.g. an old task evaluated at a pre-growth expert count)."""
+    data_axes = tuple(a for a in ("dcn", "data") if a in mesh.axis_names)
+    n_model = dict(mesh.shape).get("model", 1)
+    specs = {}
+    if tokens:
+        specs["tokens"] = (1, NamedSharding(
+            mesh, P(data_axes, "model", None)))
+    if experts:
+        specs["experts"] = (1, NamedSharding(
+            mesh, P(data_axes, "model", None, None)))
+
+    def shard(x, tag):
+        if tag not in specs:
+            return x
+        axis, sh = specs[tag]
+        if x.ndim != len(sh.spec) or x.shape[axis] % n_model != 0:
+            return x
+        return jax.lax.with_sharding_constraint(x, sh)
+
+    return shard
 
 
 def batch_sharding(mesh: Mesh):

@@ -77,6 +77,11 @@ class TrainConfig:
                          # adjacent convs never touches HBM. VGG-only call
                          # sites; orthogonal to use_pallas/use_pallas_conv
                          # (which fuse the MASK into the op — don't combine).
+    act_sharder: Optional[Any] = None  # (array, tag) -> array activation-
+                         # sharding hook (parallel/mesh.act_sharder): models
+                         # constrain labeled seams — "tokens" (sequence
+                         # parallelism) and "experts" (expert parallelism) —
+                         # under the step's mesh. None = mesh-agnostic.
     compiler_options: Optional[Dict[str, str]] = None  # per-executable XLA
                          # options for the jitted steps, e.g.
                          # {"xla_tpu_scoped_vmem_limit_kib": "65536"} — a
@@ -164,7 +169,7 @@ def build_train_step(
         return fw.apply(
             model_fn, params, private, bn_state, x, train=True,
             compute_dtype=cfg.compute_dtype, masking=masking,
-            fused_chain=cfg.use_fused_chain,
+            fused_chain=cfg.use_fused_chain, act_sharder=cfg.act_sharder,
             num_classes=num_classes, mult=mult, **model_kwargs,
         )
 
@@ -285,7 +290,7 @@ def build_eval_step(
         logits, _ = fw.apply(
             model_fn, eff, private, bn_state, x, train=False,
             compute_dtype=cfg.compute_dtype, masking=masking,
-            fused_chain=cfg.use_fused_chain,
+            fused_chain=cfg.use_fused_chain, act_sharder=cfg.act_sharder,
             num_classes=num_classes, mult=mult,
             **model_kwargs,
         )

@@ -151,4 +151,14 @@ if [ ! -f PAE_r3.json ]; then
     log "phase 3 skipped: relay down"
   fi
 fi
+# Phase 4: MoE-ViT TPU throughput row (new family, round-3 leg 2)
+if [ ! -f PERF_moe_r3.json ]; then
+  if relay_up; then
+    log "phase 4: perf_moe"
+    timeout 3600 $PY scripts/perf_moe.py > PERF_moe_r3.json 2>> "$LOG" \
+      && log "perf_moe ok" || log "perf_moe FAILED"
+  else
+    log "phase 4 skipped: relay down"
+  fi
+fi
 log "watchdog exit"

@@ -40,6 +40,19 @@ if "tiny_vit" not in REGISTRY:
     REGISTRY["tiny_vit"] = (tiny_vit, (16, 16, 3))
 
 
+def tiny_moe(ctx, x, num_classes, mult=1.0):
+    """2-block MoE-ViT on 16x16 inputs (block 1's FFN = 4 experts) — the
+    expert-parallel arch at CPU-test scale (models/moe.py)."""
+    from cpg_tpu.models.moe import vit_moe_cifar
+
+    return vit_moe_cifar(ctx, x, num_classes, mult, depth=2, dim=32,
+                         heads=2, patch=8, n_experts=4)
+
+
+if "tiny_moe" not in REGISTRY:
+    REGISTRY["tiny_moe"] = (tiny_moe, (16, 16, 3))
+
+
 def normalize01(x):
     import jax.numpy as jnp
 
