@@ -1,0 +1,52 @@
+#!/bin/bash
+# Round-3 continuation queue (post-reboot: /tmp wiped, leg-B checkpoints and
+# the jax compile cache are gone). Serial — never shares the chip:
+#   1. 20-task PAE row (completes the paper Exp-1 CPG/PackNet/PAE trio)
+#   2. MoE-ViT throughput row (new family's perf number)
+#   3. leg-B width-aware-budget cycle via the existing watchdog loop
+# Atomic writes (tmp + mv) so a timeout never leaves a half-written JSON
+# that the watchdog's [ -f ... ] guards would mistake for a banked result.
+# Log: /tmp/r3_queue2.log  Pid: /tmp/r3_queue2.pid
+set -u
+cd /root/repo
+PY=/opt/venv/bin/python
+export PYTHONPATH=/root/repo:/root/.axon_site
+export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
+LOG=/tmp/r3_queue2.log
+log() { echo "$(date -u +%H:%M:%S) $*" >> "$LOG"; }
+
+# quick drain items (env_probe / perf_vit / bench) were banked pre-reboot
+touch /tmp/r3_drain_done
+
+relay_up() {
+  timeout 60 $PY -c "import jax; assert any(d.platform=='tpu' for d in jax.devices())" 2>/dev/null
+}
+
+log "queue start"
+until relay_up; do log "relay down"; sleep 120; done
+
+if [ ! -f PAE_r3.json ]; then
+  log "1: PAE row"
+  if timeout 7200 $PY -m cpg_tpu pae --experiment cifar100 \
+      --synthetic-train-per-class 400 --synthetic-test-per-class 80 \
+      --batch-size 256 --lr 0.02 --dtype bfloat16 \
+      --finetune-epochs 10 --prune-epochs 4 --retrain-epochs 4 \
+      --prune-ratios 0.2 0.4 0.6 0.8 --goals-file baseline_acc_r2.json \
+      > /tmp/PAE_r3.json.tmp 2>> "$LOG"; then
+    mv /tmp/PAE_r3.json.tmp PAE_r3.json; log "pae ok"
+  else
+    log "pae FAILED"
+  fi
+fi
+
+if [ ! -f PERF_moe_r3.json ]; then
+  log "2: perf_moe"
+  if timeout 3600 $PY scripts/perf_moe.py > /tmp/PERF_moe.json.tmp 2>> "$LOG"; then
+    mv /tmp/PERF_moe.json.tmp PERF_moe_r3.json; log "perf_moe ok"
+  else
+    log "perf_moe FAILED"
+  fi
+fi
+
+log "3: handing off to leg-B watchdog"
+exec bash scripts/r3_watchdog.sh
