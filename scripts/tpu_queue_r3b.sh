@@ -48,5 +48,16 @@ if [ ! -f PERF_moe_r3.json ]; then
   fi
 fi
 
-log "3: handing off to leg-B watchdog"
+if [ ! -f BENCH_local_r3.json ]; then
+  # insurance copy of the headline number in case the relay is down when the
+  # round-end driver runs bench.py (the pre-reboot drain left a 0-byte file)
+  log "3: bench insurance"
+  if timeout 3600 $PY bench.py > /tmp/BENCH_local.json.tmp 2>> "$LOG"; then
+    mv /tmp/BENCH_local.json.tmp BENCH_local_r3.json; log "bench ok"
+  else
+    log "bench FAILED"
+  fi
+fi
+
+log "4: handing off to leg-B watchdog"
 exec bash scripts/r3_watchdog.sh
