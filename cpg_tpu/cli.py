@@ -92,11 +92,31 @@ def _experiment_tasks_inner(args):
         return ("resnet50", tasks, A.imagenet_train_augment,
                 A.imagenet_eval_preprocess)
     if args.experiment == "textcls":
-        # beyond-reference second modality (models/text.py): synthetic
-        # text-classification tasks, identity augmentation (tokens)
-        from .data.text import text_task_splits
+        # beyond-reference second modality (models/text.py). REAL data when
+        # $CPG_DATA_DIR/textcls/<task>/{train,test}/<class>/*.txt exists
+        # (data/textfolder.py — the ImageFolder convention for documents);
+        # synthetic tasks otherwise, same fallback pattern as the vision
+        # loaders. Identity augmentation (tokens).
+        from .data.textfolder import textfolder_task_splits
 
-        tasks = text_task_splits(n_tasks=args.num_tasks or 4)
+        real = textfolder_task_splits(
+            seq_len=getattr(args, "text_seq_len", 64) or 64,
+            tokenizer=getattr(args, "text_tokenizer", "byte"),
+            vocab=getattr(args, "text_vocab", 256))
+        if real is not None:
+            names = list(real)[: args.num_tasks or None]
+            tasks = {n: real[n] for n in names}
+        else:
+            from .data.text import text_task_splits
+
+            tasks = text_task_splits(
+                n_tasks=args.num_tasks or 4,
+                vocab=getattr(args, "text_vocab", 256),
+                seq_len=getattr(args, "text_seq_len", 64),
+                order_frac=getattr(args, "text_order_frac", 0.0))
+        if getattr(args, "text_causal", False):
+            for t in tasks.values():
+                t["model_kwargs"] = {"causal": True}
         return ("textcls", tasks, lambda x, rng: x, None)
     if args.experiment == "face":
         # config 4+5: CASIA A-Softmax face task, then facial-expression task
@@ -201,6 +221,24 @@ def _add_common(p):
                         "(any models.REGISTRY name, e.g. vit_cifar)")
     p.add_argument("--num-tasks", type=int, default=0,
                    help="0 = all tasks of the experiment")
+    p.add_argument("--text-causal", action="store_true",
+                   help="textcls only: causal (lower-triangular) attention")
+    p.add_argument("--text-vocab", type=int, default=256,
+                   help="textcls only: vocabulary size (sizes the sharable "
+                        "embedding table)")
+    p.add_argument("--text-seq-len", type=int, default=64,
+                   help="textcls only: sequence length (static — sizes the "
+                        "positional embedding)")
+    p.add_argument("--text-tokenizer", default="byte",
+                   choices=["byte", "hash"],
+                   help="textcls real-data tokenizer (data/textfolder.py): "
+                        "byte = UTF-8 bytes vocab 258; hash = whitespace "
+                        "hashing trick into --text-vocab")
+    p.add_argument("--text-order-frac", type=float, default=0.0,
+                   help="textcls only: fraction of each sequence replaced by "
+                        "class-ORIENTED token pairs (identical marginals; "
+                        "only order carries class signal — pair with "
+                        "--text-causal)")
     p.add_argument("--batch-size", type=int, default=128)
     p.add_argument("--lr", type=float, default=0.01)
     p.add_argument("--lr_mask", type=float, default=1e-4)
@@ -724,6 +762,20 @@ def main(argv=None):
 
         cfg = _dc.replace(cfg, act_sharder=act_sharder(
             mesh, tokens=True, experts=True))
+
+    if (args.experiment == "textcls" and "state" not in init_kw
+            and arch == "textcls" and tasks):
+        # arch-level shape options for a FRESH text state, derived from the
+        # ACTUAL task data (real textfolder tasks carry their tokenizer's
+        # vocab; synthetic carries the flag's): the vocab sizes the sharable
+        # embedding table, seq_len the positional embedding
+        vocab = (max(t.get("vocab", 0) for t in tasks.values())
+                 or getattr(args, "text_vocab", 256))
+        seq_len = next(iter(tasks.values()))["train_x"].shape[1]
+        if vocab != 256:
+            init_kw["model_kwargs"] = {"vocab": int(vocab)}
+        if seq_len != 64:
+            init_kw["batch_hw"] = (int(seq_len),)
 
     state, reports = runner(
         arch, tasks, cfg, _seq_cfg(args), goals=goals,

@@ -37,6 +37,15 @@ class CPGState:
     threshold: float = 5e-3        # binarizer threshold (ref DEFAULT_THRESHOLD)
     mask_mode: str = "binary"      # 'binary' (ref Binarizer) | 'ternary'
                                    # (ref Ternarizer)
+    model_kwargs: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    # ^ arch-level forward kwargs fixed at init_state time. SHAPE-AFFECTING
+    # options (vocab size, depth, dim, heads...) must live here — they size
+    # the shared kernels and every later fw.init (start_task, grow_state)
+    # must agree. Per-task kwargs in TaskEntry.meta["model_kwargs"]
+    # (head_type, causal, ...) override these at apply time.
+    in_shape: Optional[tuple] = None
+    # ^ per-example input shape when init_state overrode the registry
+    # default (batch_hw=... — e.g. a custom text seq_len); None = registry.
 
     @property
     def num_tasks(self) -> int:
@@ -44,3 +53,14 @@ class CPGState:
 
     def task_ids(self):
         return sorted(self.tasks)
+
+    def forward_kwargs(self, task_id: Optional[int] = None,
+                       override: Optional[Dict] = None) -> Dict[str, Any]:
+        """Arch-level model_kwargs merged with task `task_id`'s stored kwargs
+        (task wins); `override` replaces the task-level layer entirely."""
+        mkw = dict(getattr(self, "model_kwargs", None) or {})
+        if override is not None:
+            mkw.update(override)
+        elif task_id is not None and task_id in self.tasks:
+            mkw.update(self.tasks[task_id].meta.get("model_kwargs") or {})
+        return mkw

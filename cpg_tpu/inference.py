@@ -32,8 +32,7 @@ def predict(state: CPGState, task_id: int, x, preprocess_fn=None,
         state.threshold, compute_dtype=compute_dtype,
         mask_mode=getattr(state, "mask_mode", "binary"),
     )
-    mkw = model_kwargs if model_kwargs is not None else (
-        task.meta.get("model_kwargs") or {})
+    mkw = state.forward_kwargs(task_id, override=model_kwargs)
     logits, _ = fw.apply(
         model_fn, eff, task.private, task.bn_state, x, train=False,
         compute_dtype=compute_dtype or _float_dtype_of(x),
@@ -56,7 +55,7 @@ def make_predict_fn(state: CPGState, task_id: int, preprocess_fn=None,
     task = state.tasks[task_id]
     model_fn, _ = get_model(state.arch)
     mult, nc, thr = state.width_mult, task.num_classes, state.threshold
-    mkw = task.meta.get("model_kwargs") or {}
+    mkw = state.forward_kwargs(task_id)
 
     @jax.jit
     def fn(shared, ownership, piggymask, private, bn_state, x):

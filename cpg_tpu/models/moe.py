@@ -44,7 +44,7 @@ import jax.numpy as jnp
 
 from .framework import (Ctx, gelu, head, layernorm, normal_init, sconv,
                         xavier_normal)
-from .vit import attention, mlp
+from .vit import _heads, attention, mlp
 
 
 def _expert_init(rng, shape, dtype=jnp.float32):
@@ -121,7 +121,7 @@ def vit_moe_cifar(ctx: Ctx, x, num_classes: int, mult: float = 1.0,
     models/vit.py's law; MoE capacity grows as whole experts (expert hidden
     width stays fixed = dim * mlp_ratio, one dense-MLP's worth per token)."""
     head_dim = dim // heads
-    heads_n = max(1, int(heads * mult))
+    heads_n = _heads(heads, mult)
     hidden = max(1, int(dim * mlp_ratio * mult))
     x = sconv(ctx, "patch/proj", x, dim, kernel=patch, stride=patch,
               padding="VALID", kernel_init=xavier_normal)

@@ -38,12 +38,17 @@ def textcls(ctx: Ctx, tokens, num_classes: int, mult: float = 1.0,
     x = sembed(ctx, "embed", tokens, vocab, dim)
     pos = ctx.private_param("embed/pos", (t, dim), normal_init(0.02))
     x = (x + pos).astype(ctx.compute_dtype)
+    # sequence-parallel seam, same as models/vit.py: under
+    # parallel/mesh.act_sharder the token axis shards over the model axis
+    # here and at every block boundary
+    x = ctx.constrain(x, "tokens")
     for i in range(depth):
         x = x + attention(ctx, f"blocks/{i}/attn",
                           layernorm(ctx, f"blocks/{i}/ln1", x),
                           heads_n, head_dim, causal=causal)
         x = x + mlp(ctx, f"blocks/{i}/mlp",
                     layernorm(ctx, f"blocks/{i}/ln2", x), hidden)
+        x = ctx.constrain(x, "tokens")
     x = layernorm(ctx, "norm", x)
     x = jnp.mean(x.astype(jnp.float32), axis=1)
     return head(ctx, "classifier", x, num_classes)

@@ -39,6 +39,9 @@ except ImportError:  # pragma: no cover
 def make_pipeline_mesh(n_stages: int, devices=None) -> Mesh:
     """A 1-D ("pipe",) mesh of `n_stages` devices."""
     devices = devices if devices is not None else jax.devices()
+    if len(devices) < n_stages:
+        raise ValueError(f"pipeline needs {n_stages} devices, "
+                         f"only {len(devices)} available")
     return Mesh(np.asarray(devices[:n_stages]), ("pipe",))
 
 
@@ -125,8 +128,12 @@ def pipeline_blocks(mesh: Mesh, stacked: Dict[str, jax.Array], x,
                 outs, jnp.where(valid, y, cur), slot, 0)
             return jax.lax.ppermute(y, axis, perm), outs
 
-        buf = jnp.zeros(xm.shape[1:], xm.dtype)
-        outs = jnp.zeros_like(xm)
+        # carries live in the BLOCK-OUTPUT dtype, not the input dtype: a
+        # bf16 token stream through f32 compute promotes at the residual
+        # add, and a mismatched carry dtype fails inside the fori_loop
+        odt = jnp.result_type(xm.dtype, compute_dtype)
+        buf = jnp.zeros(xm.shape[1:], odt)
+        outs = jnp.zeros(xm.shape, odt)
         if hasattr(jax.lax, "pvary"):
             # the carries BECOME device-varying inside the loop (ppermute /
             # stage-local writes); the replicated zeros must be pre-marked

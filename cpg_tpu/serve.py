@@ -132,6 +132,7 @@ class TaskServer:
         self.cache = cache
         self.max_cached = max_cached
         self.model_fn, self.in_shape = get_model(state.arch)
+        self.in_shape = getattr(state, "in_shape", None) or self.in_shape
         # concurrent clients (server_http.py threads) race on the eff-weight
         # cache — one lock serializes materialize/evict; the jitted forwards
         # themselves are thread-safe and dispatch concurrently
@@ -198,7 +199,7 @@ class TaskServer:
 
     def _make_fn(self, tid: int):
         task = self.state.tasks[tid]
-        mkw = task.meta.get("model_kwargs") or {}
+        mkw = self.state.forward_kwargs(tid)
         nc, mult = task.num_classes, self.state.width_mult
         prep, cdt = self.preprocess_fn, self.compute_dtype
 
@@ -243,7 +244,7 @@ class TaskServer:
         for tid, x in tasks.items():
             task = self.state.tasks[tid]
             eff, scales = self._get_eff(tid)
-            mkw = task.meta.get("model_kwargs") or {}
+            mkw = self.state.forward_kwargs(tid)
             stats: Dict[str, float] = {}
             xx = jnp.asarray(np.asarray(x))
             if self.preprocess_fn is not None:
@@ -315,6 +316,7 @@ class TaskServer:
 
         os.makedirs(path, exist_ok=True)
         meta = {"arch": self.state.arch, "width_mult": self.state.width_mult,
+                "in_shape": list(self.in_shape),
                 "quantize": self.quantize,
                 "compute_dtype": str(np.dtype(
                     jnp.zeros((), self.compute_dtype).dtype)),
@@ -342,7 +344,7 @@ class TaskServer:
             np.savez(os.path.join(path, f"task{tid:02d}.npz"), **arrs)
             meta["tasks"][str(tid)] = {
                 "name": task.name, "num_classes": task.num_classes,
-                "model_kwargs": task.meta.get("model_kwargs") or {},
+                "model_kwargs": self.state.forward_kwargs(tid),
                 "bf16_keys": bf16_keys,
             }
         with open(os.path.join(path, "serving_meta.json"), "w") as f:
@@ -382,6 +384,8 @@ class TaskServer:
         srv.quantize = meta["quantize"]
         srv.cache, srv.max_cached, srv._lru = "precompute", 0, []
         srv.model_fn, srv.in_shape = get_model(meta["arch"])
+        if meta.get("in_shape"):
+            srv.in_shape = tuple(meta["in_shape"])
         tasks = {}
         srv._eff, srv._scales, srv._fns = {}, {}, {}
         srv._act_scales = {}

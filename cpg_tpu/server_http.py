@@ -11,10 +11,14 @@ Endpoints (JSON):
   GET  /v1/tasks            -> {task_id: {name, num_classes}}
   GET  /v1/stats            -> request/image counters, per-task
   POST /v1/predict          -> {"task_id": t, "inputs": [...]} where inputs is
-                               a nested list (one image, HWC uint8, or a batch
-                               NHWC) -> {"logits": [[...]], "top1": [...]}
+                               a nested list: one example of the model's
+                               in_shape or a batch (N, *in_shape); ints stay
+                               integral (uint8 images / int32 token ids),
+                               floats become float32
+                               -> {"logits": [[...]], "top1": [...]}
   POST /v1/predict_mixed    -> {"requests": [{"task_id": t, "input": [...]},
-                               ...]} routed per task, answers in order
+                               ...]} — ONE example per entry, routed per
+                               task, answers in order
 
 Usage:
     srv = TaskServer.load("artifact/", preprocess_fn=...)
@@ -38,8 +42,23 @@ from .serve import TaskServer
 
 
 def _as_batch(obj, in_shape) -> np.ndarray:
-    """Accept one image (HWC) or a batch (NHWC); return NHWC uint8."""
-    x = np.asarray(obj, dtype=np.uint8)
+    """Accept one example (in_shape) or a batch (N, *in_shape).
+
+    Dtype is inferred from the JSON values, not forced: float payloads
+    (normalized pixels, pre-processed features) become float32; integer
+    payloads stay integral — uint8 when they fit (images), int32 otherwise
+    (token ids for the text family, whose vocab can exceed 255).
+    TaskServer.predict handles both (integer inputs are promoted before the
+    model runs — see serve.py)."""
+    x = np.asarray(obj)
+    if x.dtype == object:
+        raise ValueError("ragged or non-numeric input")
+    if np.issubdtype(x.dtype, np.floating):
+        x = x.astype(np.float32)
+    elif x.size and 0 <= int(x.min()) and int(x.max()) <= 255:
+        x = x.astype(np.uint8)
+    else:
+        x = x.astype(np.int32)
     if x.shape == tuple(in_shape):
         x = x[None]
     if x.ndim != len(in_shape) + 1 or x.shape[1:] != tuple(in_shape):
@@ -88,31 +107,39 @@ class _Handler(BaseHTTPRequestHandler):
                 y = front.predict(tid, x)
                 out = {"logits": y.tolist(),
                        "top1": np.argmax(y, -1).tolist()}
-                self._count(tid, len(x), time.perf_counter() - t0)
+                self._count([tid] * len(x), time.perf_counter() - t0)
             elif self.path == "/v1/predict_mixed":
-                reqs = [(int(r["task_id"]),
-                         _as_batch(r["input"], ts.in_shape)[0])
-                        for r in req["requests"]]
+                reqs = []
+                for r in req["requests"]:
+                    xb = _as_batch(r["input"], ts.in_shape)
+                    if len(xb) != 1:
+                        raise ValueError(
+                            "predict_mixed 'input' must be ONE example of "
+                            f"shape {tuple(ts.in_shape)}, got a batch of "
+                            f"{len(xb)} — use /v1/predict for batches")
+                    reqs.append((int(r["task_id"]), xb[0]))
                 ys = ts.predict_mixed(reqs)
                 out = {"results": [{"logits": y.tolist(),
                                     "top1": int(np.argmax(y))}
                                    for y in ys]}
-                dt = time.perf_counter() - t0
-                for tid, _ in reqs:
-                    self._count(tid, 1, dt / max(len(reqs), 1))
+                self._count([tid for tid, _ in reqs],
+                            time.perf_counter() - t0)
             else:
                 return self._reply(404, {"error": f"unknown path {self.path}"})
             self._reply(200, out)
         except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
             self._reply(400, {"error": f"{type(e).__name__}: {e}"})
 
-    def _count(self, tid: int, images: int, secs: float = 0.0):
+    def _count(self, tids, secs: float = 0.0):
+        """One HTTP request served `tids` images (one task id per image) in
+        `secs` — requests/latency count once per request, images per item."""
         with self.server.lock:
             s = self.server.stats
             s["requests"] = s.get("requests", 0) + 1
-            s["images"] = s.get("images", 0) + images
+            s["images"] = s.get("images", 0) + len(tids)
             per = s.setdefault("per_task", {})
-            per[str(tid)] = per.get(str(tid), 0) + images
+            for tid in tids:
+                per[str(tid)] = per.get(str(tid), 0) + 1
             ms = secs * 1e3
             lat = s.setdefault("latency_ms", {"count": 0, "avg": 0.0,
                                               "max": 0.0})
@@ -130,6 +157,14 @@ class _Httpd(ThreadingHTTPServer):
         self.batcher = batcher
         self.stats: Dict = {}
         self.lock = threading.Lock()
+
+    def shutdown(self):
+        """Stop serving AND stop the DynamicBatcher's per-task worker
+        threads (otherwise they poll their queues forever and pin the
+        TaskServer's device-cached weights alive)."""
+        super().shutdown()
+        if self.batcher is not None:
+            self.batcher.close()
 
 
 def serve_http(task_server: TaskServer, port: int = 8000,
@@ -152,6 +187,8 @@ def serve_http(task_server: TaskServer, port: int = 8000,
         except KeyboardInterrupt:
             pass
         finally:
+            if batcher is not None:
+                batcher.close()
             httpd.server_close()
     else:
         t = threading.Thread(target=httpd.serve_forever, daemon=True)

@@ -85,10 +85,13 @@ def run_packnet_sequence(arch, tasks, cfg: Optional[TrainConfig] = None,
     cfg = dataclasses.replace(cfg, train_piggymask=False)
     seq = seq or SequenceConfig()
     state = kwargs.pop("state", None)
+    mkw = kwargs.pop("model_kwargs", None)
+    bhw = kwargs.pop("batch_hw", None)
     if state is None:
         state = init_state(arch, jax.random.PRNGKey(seq.seed),
                            width_mult=kwargs.pop("width_mult", 1.0),
-                           mask_mode="packnet")
+                           mask_mode="packnet",
+                           model_kwargs=mkw, batch_hw=bhw)
     else:
         state.mask_mode = "packnet"
     return run_sequence(arch, tasks, cfg, seq, state=state, **kwargs)

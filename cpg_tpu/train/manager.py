@@ -98,7 +98,7 @@ class Manager:
             mult=state.width_mult,
             has_piggymask=self.has_piggymask,
             cfg=cfg,
-            model_kwargs=self.task.meta.get("model_kwargs"),
+            model_kwargs=state.forward_kwargs(task_id) or None,
             mask_mode=getattr(state, "mask_mode", "binary"),
         )
         extra = {} if loss_fn is None else {"loss_fn": loss_fn}

@@ -63,24 +63,35 @@ def snapshot(state: CPGState) -> CPGState:
         },
         threshold=state.threshold,
         mask_mode=getattr(state, "mask_mode", "binary"),
+        model_kwargs=dict(getattr(state, "model_kwargs", None) or {}),
+        in_shape=getattr(state, "in_shape", None),
     )
 
 
 def init_state(arch: str, rng, width_mult: float = 1.0, batch_hw=None,
-               mask_mode: str = "binary") -> CPGState:
+               mask_mode: str = "binary",
+               model_kwargs: dict = None) -> CPGState:
     """Fresh CPG state: shared weights initialized, everything free.
 
     mask_mode: 'binary' (ref Binarizer) | 'ternary' (ref Ternarizer) |
-    'packnet' (no piggyback masks at all — ref:packnet_cifar100_main.py)."""
+    'packnet' (no piggyback masks at all — ref:packnet_cifar100_main.py).
+
+    model_kwargs: arch-level forward kwargs (e.g. vocab=30000 for textcls,
+    depth/dim overrides) — SHAPE-AFFECTING options belong here, not in
+    start_task's per-task kwargs, because they size the shared kernels.
+    Stored on the state and applied at every later fw.init/apply."""
     model_fn, in_shape = get_model(arch)
     x = jnp.zeros((1, *(batch_hw or in_shape)), jnp.float32)
-    shared, _, _ = fw.init(rng, model_fn, x, num_classes=2, mult=width_mult)
+    shared, _, _ = fw.init(rng, model_fn, x, num_classes=2, mult=width_mult,
+                           **(model_kwargs or {}))
     return CPGState(
         arch=arch,
         width_mult=width_mult,
         shared=shared,
         ownership=init_ownership(shared),
         mask_mode=mask_mode,
+        model_kwargs=dict(model_kwargs or {}),
+        in_shape=tuple(batch_hw) if batch_hw is not None else None,
     )
 
 
@@ -95,13 +106,15 @@ def start_task(
     """Add task k: claim free capacity (ref make_finetuning_mask), create the
     piggymask over prior-task weights (k>1), fresh task-private params."""
     model_fn, in_shape = get_model(state.arch)
+    in_shape = getattr(state, "in_shape", None) or in_shape
     task_id = state.num_tasks + 1
     state.ownership = assign_free_to_task(state.ownership, task_id)
+    merged_kwargs = state.forward_kwargs(override=model_kwargs or {})
     if reinit_free:
         # optional: fresh kaiming noise on just-claimed (pruned-to-zero) entries
         fresh, _, _ = fw.init(
             rng, model_fn, jnp.zeros((1, *in_shape)), num_classes=num_classes,
-            mult=state.width_mult)
+            mult=state.width_mult, **merged_kwargs)
         state.shared = jax.tree.map(
             lambda w, m, f: jnp.where((m == task_id) & (w == 0), f, w),
             state.shared, state.ownership, fresh,
@@ -117,7 +130,7 @@ def start_task(
     )
     _, private, bn_state = fw.init(
         rng, model_fn, jnp.zeros((1, *in_shape)), num_classes=num_classes,
-        mult=state.width_mult, **(model_kwargs or {}),
+        mult=state.width_mult, **merged_kwargs,
     )
     state.tasks[task_id] = TaskEntry(
         name=name, num_classes=num_classes, piggymask=piggymask,
@@ -140,8 +153,10 @@ def grow_state(state: CPGState, new_mult: float, rng,
 
         flatten_dims = get_flatten_dims(state.arch)
     model_fn, in_shape = get_model(state.arch)
+    in_shape = getattr(state, "in_shape", None) or in_shape
     x = jnp.zeros((1, *in_shape), jnp.float32)
-    fresh_shared, _, _ = fw.init(rng, model_fn, x, num_classes=2, mult=new_mult)
+    fresh_shared, _, _ = fw.init(rng, model_fn, x, num_classes=2,
+                                 mult=new_mult, **state.forward_kwargs())
     pms = {tid: t.piggymask for tid, t in state.tasks.items()}
     shared, ownership, new_pms = grow_mod.grow_shared(
         state.shared, state.ownership, fresh_shared, pms, flatten_dims)
@@ -150,7 +165,7 @@ def grow_state(state: CPGState, new_mult: float, rng,
         t.piggymask = new_pms[tid]
         _, fresh_priv, fresh_bn = fw.init(
             rng, model_fn, x, num_classes=t.num_classes, mult=new_mult,
-            **(t.meta.get("model_kwargs") or {}))
+            **state.forward_kwargs(tid))
         t.private = grow_mod.grow_private(t.private, fresh_priv)
         t.bn_state = grow_mod.grow_private(t.bn_state, fresh_bn)
     return state
@@ -443,17 +458,24 @@ def run_sequence(
     record_dir: Optional[str] = None,
     state: Optional[CPGState] = None,
     mesh=None,
+    model_kwargs: Optional[Dict] = None,
+    batch_hw=None,
 ) -> Tuple[CPGState, List[TaskReport]]:
     """The whole multi-task CPG run (= the reference's experiment1 pipeline).
 
     Pass `state` to continue an existing model — e.g. a pretrained-task-1
     ResNet-50 (train/pretrained.py) or a compacted face trunk receiving
-    expression/gender/age tasks (ref:CPG_face_main.py experiment 3)."""
+    expression/gender/age tasks (ref:CPG_face_main.py experiment 3).
+
+    `model_kwargs`/`batch_hw` size a FRESH state's shared kernels (arch-level
+    shape options — e.g. vocab/seq_len for textcls); ignored when `state`
+    is passed (the state already carries its own)."""
     cfg = cfg or TrainConfig()
     seq = seq or SequenceConfig()
     rng = jax.random.PRNGKey(seq.seed) if rng is None else rng
     if state is None:
-        state = init_state(arch, rng, width_mult=width_mult)
+        state = init_state(arch, rng, width_mult=width_mult,
+                           batch_hw=batch_hw, model_kwargs=model_kwargs)
     elif state.arch != arch:
         raise ValueError(f"state arch {state.arch} != {arch}")
     reports = []

@@ -99,6 +99,9 @@ def save_state(state: CPGState, path: str, block: bool = True) -> str:
         "width_mult": state.width_mult,
         "threshold": state.threshold,
         "mask_mode": getattr(state, "mask_mode", "binary"),
+        "model_kwargs": dict(getattr(state, "model_kwargs", None) or {}),
+        "in_shape": (list(state.in_shape)
+                     if getattr(state, "in_shape", None) else None),
         "tasks": {
             str(tid): {"name": t.name, "num_classes": t.num_classes,
                        "meta": t.meta}
@@ -144,6 +147,9 @@ def load_state(path: str) -> CPGState:
         tasks=tasks,
         threshold=meta["threshold"],
         mask_mode=meta.get("mask_mode", "binary"),
+        model_kwargs=meta.get("model_kwargs") or {},
+        in_shape=(tuple(meta["in_shape"])
+                  if meta.get("in_shape") else None),
     )
     return state
 

@@ -167,6 +167,30 @@ def test_sp_token_sharding_matches_replicated():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_sp_text_family_matches_replicated():
+    """The text family exposes the same "tokens" seam (models/text.py
+    ctx.constrain): token-axis sharding over `model` with integer token
+    inputs matches the unsharded forward."""
+    from .helpers import tiny_textcls
+
+    toks = jnp.array(np.random.RandomState(2).randint(0, 64, (8, 16)),
+                     jnp.int32)
+    shared, private, bn = fw.init(jax.random.PRNGKey(0), tiny_textcls, toks,
+                                  num_classes=4)
+    y0, _ = fw.apply(tiny_textcls, shared, private, bn, toks, train=False,
+                     num_classes=4)
+    mesh = make_mesh(n_model=2, devices=jax.devices()[:8])
+    rep = replicated(mesh)
+    sharder = act_sharder(mesh, tokens=True)
+    y1 = jax.jit(lambda s, p, xx: fw.apply(
+        tiny_textcls, s, p, {}, xx, train=False, act_sharder=sharder,
+        num_classes=4)[0])(
+            jax.device_put(shared, rep), jax.device_put(private, rep),
+            jax.device_put(toks, batch_sharding(mesh)))
+    np.testing.assert_allclose(np.array(y0), np.array(y1),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_pipeline_matches_sequential():
     """4-stage GPipe over 4 real ViT encoder blocks == running them in
     order; the stacked layout is a pure transpose of the blocks/{i}/ dict."""
@@ -197,6 +221,45 @@ def test_pipeline_matches_sequential():
         stacked, tokens)
     np.testing.assert_allclose(np.array(out2), np.array(seq),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pipeline_bf16_tokens():
+    """bf16 token stream through f32 compute: the loop carries must live in
+    the BLOCK-OUTPUT dtype (the residual add promotes), not the input dtype
+    — previously this crashed inside the fori_loop with a dtype mismatch."""
+    from cpg_tpu.models.vit import vit_cifar
+
+    x = jnp.array(np.random.RandomState(0).rand(8, 16, 16, 3), jnp.float32)
+    shared, private, _ = fw.init(jax.random.PRNGKey(0), vit_cifar, x,
+                                 num_classes=4, depth=4, dim=32, heads=2,
+                                 patch=8)
+    merged = dict(shared)
+    merged.update(private)
+    stacked, _ = stack_block_params(merged, 4)
+    tokens = jnp.array(np.random.RandomState(1).randn(8, 4, 32),
+                       jnp.bfloat16)
+    bkw = dict(heads_n=2, head_dim=16, hidden=128)
+    seq = tokens
+    for i in range(4):
+        seq = _default_block_fn({k: v[i] for k, v in stacked.items()}, seq,
+                                jnp.float32, bkw)
+    mesh = make_pipeline_mesh(4)
+    out = pipeline_blocks(mesh, stacked, tokens, n_micro=4, block_kwargs=bkw,
+                          compute_dtype=jnp.float32)
+    assert out.dtype == seq.dtype
+    # the carry upcast means stage inputs are exact f32 images of the bf16
+    # tokens, but the sequential reference runs block-1 LN stats in bf16 —
+    # agreement is at bf16 noise level, not f32
+    np.testing.assert_allclose(np.array(out, np.float32),
+                               np.array(seq, np.float32),
+                               rtol=0.05, atol=0.05)
+
+
+def test_pipeline_mesh_rejects_too_few_devices():
+    import pytest
+
+    with pytest.raises(ValueError, match="devices"):
+        make_pipeline_mesh(len(jax.devices()) + 1)
 
 
 def test_moe_taskserver_parity():

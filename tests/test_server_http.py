@@ -95,3 +95,69 @@ def test_http_latency_stats(served):
                                  "inputs": d1["test_x"][:2].tolist()})
     lat = _call(httpd, "/v1/stats")["latency_ms"]
     assert lat["count"] >= 1 and lat["max"] >= lat["avg"] > 0
+
+
+def test_http_dtype_not_forced_to_uint8(served):
+    """Float payloads must reach the server as float32 and integer values
+    above 255 must not overflow/wrap — the text family's token ids and
+    pre-normalized float clients both hit this path."""
+    srv, httpd, d1 = served
+    xf = (d1["test_x"][:2].astype(np.float32) / 255.0)
+    got = _call(httpd, "/v1/predict", {"task_id": 1, "inputs": xf.tolist()})
+    want = srv.predict(1, xf)
+    np.testing.assert_allclose(np.array(got["logits"]), want,
+                               rtol=1e-5, atol=1e-5)
+    # values > 255: previously np.uint8 coercion wrapped (numpy 1.x) or
+    # crashed the handler thread with an uncaught OverflowError (numpy 2.x)
+    xi = d1["test_x"][:1].astype(np.int64) + 300
+    got = _call(httpd, "/v1/predict", {"task_id": 1, "inputs": xi.tolist()})
+    want = srv.predict(1, xi.astype(np.int32))
+    np.testing.assert_allclose(np.array(got["logits"]), want,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_http_mixed_rejects_batch_input(served):
+    """predict_mixed entries are ONE example each; a batch in 'input' must be
+    a 400, not a silent [0] truncation."""
+    _, httpd, d1 = served
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _call(httpd, "/v1/predict_mixed",
+              {"requests": [{"task_id": 1,
+                             "input": d1["test_x"][:3].tolist()}]})
+    assert e.value.code == 400
+    assert "ONE example" in json.loads(e.value.read())["error"]
+
+
+def test_http_stats_count_per_request(served):
+    """requests/latency count once per HTTP request; images per item."""
+    _, httpd, d1 = served
+    before = _call(httpd, "/v1/stats")
+    _call(httpd, "/v1/predict_mixed",
+          {"requests": [{"task_id": 1, "input": d1["test_x"][0].tolist()},
+                        {"task_id": 1, "input": d1["test_x"][1].tolist()}]})
+    after = _call(httpd, "/v1/stats")
+    assert after["requests"] == before["requests"] + 1
+    assert after["images"] == before["images"] + 2
+    assert after["latency_ms"]["count"] == before["latency_ms"]["count"] + 1
+
+
+def test_http_shutdown_closes_batcher(served):
+    """httpd.shutdown() must stop DynamicBatcher worker threads (they
+    otherwise poll forever and pin the TaskServer alive)."""
+    import time
+
+    srv, _, d1 = served
+    from cpg_tpu.server_http import serve_http as _serve
+
+    httpd = _serve(srv, port=0, batch_window_ms=2.0)
+    try:
+        _call(httpd, "/v1/predict", {"task_id": 1,
+                                     "inputs": d1["test_x"][0].tolist()})
+        assert httpd.batcher._threads  # a worker exists
+    finally:
+        httpd.shutdown()
+    deadline = time.time() + 5
+    while time.time() < deadline and any(
+            t.is_alive() for t in httpd.batcher._threads.values()):
+        time.sleep(0.05)
+    assert not any(t.is_alive() for t in httpd.batcher._threads.values())

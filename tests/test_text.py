@@ -157,3 +157,91 @@ def test_text_cli_end_to_end(tmp_path):
     assert rc in (0, None)
     res = _json.loads(buf.getvalue().strip().splitlines()[-1])
     assert res["n"] > 0 and res["top1"] > 0.5, res
+
+
+def test_text_order_frac_plants_oriented_pairs():
+    """order_frac: class-ORIENTED pairs from the reserved vocab band — the
+    token marginals carry no class signal (both pair tokens appear equally
+    often for every class); only the within-pair ORDER does. And
+    order_frac=0.0 must be bit-identical to the pre-order_frac generator
+    (no extra rng draws)."""
+    from cpg_tpu.data.text import synthetic_text_task
+
+    base = synthetic_text_task(7, num_classes=2, vocab=256, seq_len=32)
+    again = synthetic_text_task(7, num_classes=2, vocab=256, seq_len=32,
+                                order_frac=0.0)
+    np.testing.assert_array_equal(base["train_x"], again["train_x"])
+
+    d = synthetic_text_task(7, num_classes=2, vocab=256, seq_len=32,
+                            order_frac=0.5, noise=1.0)
+    a, b = 254, 255  # pair 0 of the reserved band (1 bit for 2 classes)
+    toks, y = d["train_x"], d["train_y"]
+    fwd = np.zeros(2, np.int64)   # (a, b) adjacencies at even slots
+    rev = np.zeros(2, np.int64)   # (b, a)
+    for c in (0, 1):
+        rows = toks[y == c]
+        fwd[c] = np.sum((rows[:, 0::2] == a) & (rows[:, 1::2] == b))
+        rev[c] = np.sum((rows[:, 0::2] == b) & (rows[:, 1::2] == a))
+    # class 0 (bit 0) plants (a, b); class 1 plants (b, a); uniform noise
+    # can fake a handful of adjacencies but not the planted volume
+    assert fwd[0] > 10 * max(rev[0], 1), (fwd, rev)
+    assert rev[1] > 10 * max(fwd[1], 1), (fwd, rev)
+    # marginals: each class emits both tokens of the pair equally often
+    for c in (0, 1):
+        rows = toks[y == c]
+        na, nb = np.sum(rows == a), np.sum(rows == b)
+        assert abs(na - nb) <= 0.1 * (na + nb), (na, nb)
+
+
+def test_text_state_level_model_kwargs_and_shape():
+    """Arch-level SHAPE options (vocab, seq_len) ride CPGState.model_kwargs /
+    .in_shape: init_state sizes the shared embedding, start_task/grow_state
+    agree, checkpoints round-trip them, and TaskServer serves the custom
+    shape. Any real vocabulary is > 256, so this path is what production
+    text use actually needs."""
+    import tempfile
+
+    from cpg_tpu.serve import TaskServer
+    from cpg_tpu.utils.checkpoint import (load_state, save_state,
+                                          wait_for_saves)
+
+    d = synthetic_text_task(3, num_classes=4, vocab=300, seq_len=16,
+                            n_train=128, n_test=32)
+    state = init_state("textcls", jax.random.PRNGKey(0), batch_hw=(16,),
+                       model_kwargs={"vocab": 300})
+    start_task(state, "t1", 4, jax.random.PRNGKey(1),
+               model_kwargs={"causal": True})
+    # state-level + task-level merge, task wins on collisions
+    assert state.forward_kwargs(1) == {"vocab": 300, "causal": True}
+    from cpg_tpu.models import get_model
+
+    Manager(state, get_model("textcls")[0], 1, d, _cfg(), batch_size=32,
+            lr_schedule="constant", augment_fn=ident_augment,
+            preprocess_fn=None).train(epochs=1)
+    logits = np.asarray(predict(state, 1, d["test_x"][:8]))
+
+    with tempfile.TemporaryDirectory() as td:
+        save_state(state, td + "/ck")
+        wait_for_saves()
+        st2 = load_state(td + "/ck")
+        assert st2.model_kwargs == {"vocab": 300}
+        assert st2.in_shape == (16,)
+        np.testing.assert_array_equal(
+            np.asarray(predict(st2, 1, d["test_x"][:8])), logits)
+
+    # growth must init fresh trees at the SAME custom shapes
+    state = grow_state(state, 1.5, jax.random.PRNGKey(7))
+    np.testing.assert_allclose(np.asarray(predict(state, 1,
+                                                  d["test_x"][:8])),
+                               logits, rtol=2e-6, atol=2e-6)
+
+    srv = TaskServer(state, compute_dtype=jnp.float32, min_bucket=8)
+    assert srv.in_shape == (16,)
+    x = d["test_x"][:4]
+    want = srv.predict(1, x)
+    with tempfile.TemporaryDirectory() as td:
+        srv.export(td + "/art")
+        srv2 = TaskServer.load(td + "/art", min_bucket=8)
+        assert srv2.in_shape == (16,)
+        np.testing.assert_allclose(srv2.predict(1, x), want,
+                                   rtol=1e-3, atol=1e-3)
