@@ -763,19 +763,22 @@ def main(argv=None):
         cfg = _dc.replace(cfg, act_sharder=act_sharder(
             mesh, tokens=True, experts=True))
 
-    if (args.experiment == "textcls" and "state" not in init_kw
-            and arch == "textcls" and tasks):
+    from .models import get_model as _get_model
+    is_text_arch = len(_get_model(arch)[1]) == 1
+    if is_text_arch and "state" not in init_kw and tasks:
         # arch-level shape options for a FRESH text state, derived from the
         # ACTUAL task data (real textfolder tasks carry their tokenizer's
         # vocab; synthetic carries the flag's): the vocab sizes the sharable
-        # embedding table, seq_len the positional embedding
+        # embedding table, seq_len the positional embedding. Set
+        # UNCONDITIONALLY (init_state treats them as authoritative) — gating
+        # on "differs from the registry default" silently stopped sizing the
+        # table whenever the default changed, and out-of-range ids gather
+        # garbage without error (ADVICE r3 #2).
         vocab = (max(t.get("vocab", 0) for t in tasks.values())
                  or getattr(args, "text_vocab", 256))
         seq_len = next(iter(tasks.values()))["train_x"].shape[1]
-        if vocab != 256:
-            init_kw["model_kwargs"] = {"vocab": int(vocab)}
-        if seq_len != 64:
-            init_kw["batch_hw"] = (int(seq_len),)
+        init_kw["model_kwargs"] = {"vocab": int(vocab)}
+        init_kw["batch_hw"] = (int(seq_len),)
 
     state, reports = runner(
         arch, tasks, cfg, _seq_cfg(args), goals=goals,

@@ -32,13 +32,20 @@ def synthetic_text_task(seed: int, num_classes: int = 4, vocab: int = 256,
     (default) draws no extra randoms: output is bit-identical to the
     pre-order_frac generator."""
     rng = np.random.RandomState(seed)
-    # each class prefers a random 8-token subset of the vocab
-    prefer = np.stack([rng.choice(vocab, 8, replace=False)
-                       for _ in range(num_classes)])
     n_bits = max(1, int(np.ceil(np.log2(max(num_classes, 2)))))
     if order_frac > 0 and vocab < 2 * n_bits + 8:
         raise ValueError(f"vocab {vocab} too small for {n_bits} ordered "
                          "pairs plus class token subsets")
+    # each class prefers a random 8-token subset of the vocab. When the
+    # ordered-pair channel is on, the reserved top-of-vocab pair band is
+    # EXCLUDED from the subsets — a preferred pair token would put class
+    # signal back into the marginals, breaking the documented
+    # "only order carries class signal" property (ADVICE r3 #5). With
+    # order_frac=0 the full vocab keeps the stream bit-identical to the
+    # pre-order_frac generator (same draw count, same bounds).
+    prefer_hi = vocab - 2 * n_bits if order_frac > 0 else vocab
+    prefer = np.stack([rng.choice(prefer_hi, 8, replace=False)
+                       for _ in range(num_classes)])
     pair_a = vocab - 2 - 2 * np.arange(n_bits)
     pair_b = vocab - 1 - 2 * np.arange(n_bits)
 

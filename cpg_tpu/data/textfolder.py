@@ -46,6 +46,10 @@ def tokenize_bytes(text: str, seq_len: int) -> np.ndarray:
 
 def tokenize_hash(text: str, seq_len: int, vocab: int) -> np.ndarray:
     """Whitespace tokens -> stable blake2b hash into [2, vocab)."""
+    if vocab < 16:
+        raise ValueError(
+            f"tokenize_hash needs vocab >= 16 (got {vocab}): ids land in "
+            f"[2, vocab), and a tiny modulus aliases every token")
     out = np.zeros(seq_len, np.int32)
     out[0] = BOS
     for i, tok in enumerate(text.split()):

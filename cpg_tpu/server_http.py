@@ -44,21 +44,29 @@ from .serve import TaskServer
 def _as_batch(obj, in_shape) -> np.ndarray:
     """Accept one example (in_shape) or a batch (N, *in_shape).
 
-    Dtype is inferred from the JSON values, not forced: float payloads
-    (normalized pixels, pre-processed features) become float32; integer
-    payloads stay integral — uint8 when they fit (images), int32 otherwise
-    (token ids for the text family, whose vocab can exceed 255).
-    TaskServer.predict handles both (integer inputs are promoted before the
-    model runs — see serve.py)."""
+    Dtype is CANONICAL per task shape, never inferred from payload values:
+    float payloads (normalized pixels, pre-processed features) become
+    float32; integer payloads become int32 for 1-D inputs (token ids — the
+    text vocab can exceed 255) and uint8 for image-shaped inputs. Inferring
+    from values (uint8 iff max<=255) made identically-shaped text requests
+    nondeterministically uint8 or int32, and every new (bucket, dtype) pair
+    is a jit retrace — minutes per recompile on the relay-backed TPU
+    (ADVICE r3 #1). TaskServer.predict handles both (integer inputs are
+    promoted before the model runs — see serve.py)."""
     x = np.asarray(obj)
     if x.dtype == object:
         raise ValueError("ragged or non-numeric input")
     if np.issubdtype(x.dtype, np.floating):
         x = x.astype(np.float32)
-    elif x.size and 0 <= int(x.min()) and int(x.max()) <= 255:
-        x = x.astype(np.uint8)
+    elif len(in_shape) == 1:
+        x = x.astype(np.int32)  # token ids
     else:
-        x = x.astype(np.int32)
+        if x.size and not (0 <= int(x.min()) and int(x.max()) <= 255):
+            raise ValueError(
+                f"integer pixels out of uint8 range "
+                f"[{int(x.min())}, {int(x.max())}] for image input "
+                f"{tuple(in_shape)}; send floats for pre-processed inputs")
+        x = x.astype(np.uint8)
     if x.shape == tuple(in_shape):
         x = x[None]
     if x.ndim != len(in_shape) + 1 or x.shape[1:] != tuple(in_shape):

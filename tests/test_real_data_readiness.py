@@ -215,9 +215,12 @@ def test_textfolder_hash_tokenizer_stable(tmp_path):
     np.testing.assert_array_equal(a, b)
     assert a[0] == 1 and np.all(a[1:4] >= 2) and np.all(a < 512)
     assert a[4] == 0  # padding
-    # documented stability anchor: changing this breaks saved checkpoints
-    assert int(tokenize_hash("the", 2, vocab=512)[1]) == \
-        int(tokenize_hash("the", 2, vocab=512)[1])
+    # documented stability anchor: a pinned literal (blake2b('the')
+    # digest_size=8, little-endian, % 510, +2). Changing the hash scheme
+    # breaks every saved checkpoint trained on hash-tokenized data — this
+    # constant is the tripwire (ADVICE r3 #4: the old self-comparison was
+    # a tautology).
+    assert int(tokenize_hash("the", 2, vocab=512)[1]) == 482
 
 
 def test_textcls_experiment_prefers_real_textfolder(tmp_path, monkeypatch):

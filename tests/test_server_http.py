@@ -97,23 +97,34 @@ def test_http_latency_stats(served):
     assert lat["count"] >= 1 and lat["max"] >= lat["avg"] > 0
 
 
-def test_http_dtype_not_forced_to_uint8(served):
-    """Float payloads must reach the server as float32 and integer values
-    above 255 must not overflow/wrap — the text family's token ids and
-    pre-normalized float clients both hit this path."""
+def test_http_dtype_canonical_per_shape(served):
+    """Dtype is a function of the task shape, never of payload values
+    (ADVICE r3 #1): float payloads arrive float32; 1-D (token-id) integer
+    payloads arrive int32 whether or not they fit in a byte — identical
+    shapes must hit ONE jit signature, since every (bucket, dtype) pair is
+    a retrace costing minutes on the relay-backed TPU; integer image
+    pixels above 255 are a 400 client error, not a silent wrap (numpy 1.x)
+    or a handler-thread OverflowError (numpy 2.x)."""
+    from cpg_tpu.server_http import _as_batch
+
     srv, httpd, d1 = served
     xf = (d1["test_x"][:2].astype(np.float32) / 255.0)
     got = _call(httpd, "/v1/predict", {"task_id": 1, "inputs": xf.tolist()})
     want = srv.predict(1, xf)
     np.testing.assert_allclose(np.array(got["logits"]), want,
                                rtol=1e-5, atol=1e-5)
-    # values > 255: previously np.uint8 coercion wrapped (numpy 1.x) or
-    # crashed the handler thread with an uncaught OverflowError (numpy 2.x)
+    # text family: small and large ids land in the SAME dtype (no retrace)
+    lo = _as_batch([[1, 2, 3, 4]], (4,))
+    hi = _as_batch([[1, 2, 300, 4]], (4,))
+    assert lo.dtype == hi.dtype == np.int32
+    # image family: integer pixels are uint8, out-of-range is a client error
+    assert _as_batch(d1["test_x"][:1].tolist(),
+                     d1["test_x"].shape[1:]).dtype == np.uint8
     xi = d1["test_x"][:1].astype(np.int64) + 300
-    got = _call(httpd, "/v1/predict", {"task_id": 1, "inputs": xi.tolist()})
-    want = srv.predict(1, xi.astype(np.int32))
-    np.testing.assert_allclose(np.array(got["logits"]), want,
-                               rtol=1e-5, atol=1e-5)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _call(httpd, "/v1/predict", {"task_id": 1, "inputs": xi.tolist()})
+    assert e.value.code == 400
+    assert "uint8" in json.loads(e.value.read())["error"]
 
 
 def test_http_mixed_rejects_batch_input(served):
