@@ -1,0 +1,155 @@
+"""ONE roofline model shared by bench.py and every perf harness.
+
+Round 3 grew three hand-rolled roofline blocks (bench.py, perf_vit.py,
+perf_r3*.py) with slightly different conventions, and two of them reported
+`fraction_of_floor` ABOVE 1.0 (PERF_vit_r3.json 1.167/1.256, PERF_moe_r3
+1.213/1.171) — a step cannot beat its own floor, so the byte model behind
+every fraction was untrustworthy in both directions (VERDICT r3 weak #1).
+This module is the single replacement. Conventions:
+
+* Two ceilings, both reported: the PUBLIC CHIP SPEC (v5e: 819 GB/s HBM,
+  197 bf16 TFLOPS) and the MEASURED ceilings of this specific chip+relay
+  (scripts/env_probe.py: r3 measured 615 GB/s = 75% of spec, 124 TFLOPS =
+  63% of spec). `fraction_of_spec_floor` is the honest "distance to the
+  data-sheet"; `fraction_of_measured_floor` is "distance to what this chip
+  demonstrably sustains".
+* Two floors per ceiling: HBM bytes / bandwidth and flops / peak. The
+  binding floor is the max. FLOP counts from `compiled.cost_analysis()`
+  are exact op counts and trusted; its "bytes accessed" counts LOGICAL
+  operand traffic per HLO op, which overcounts real HBM traffic whenever
+  XLA fuses producers into consumers (the intermediates never leave
+  VMEM) — exactly why elementwise-heavy transformer steps "beat" their
+  byte floor in r3 while the conv-dominated VGG step (flop-bound) never
+  did.
+* NO fraction above 1.0 is ever emitted. When the byte floor alone pushes
+  a fraction past 1.0, the byte model is flagged (`byte_model_suspect`),
+  the fraction is recomputed against the trusted flop-only floor, and the
+  raw value is preserved under `*_raw` for forensics.
+
+Reference: the reference publishes accuracy only, no throughput
+(BASELINE.md) — this scoreboard is distance to hardware, not to a GPU
+number.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Dict, Optional
+
+# public v5e data-sheet numbers
+SPEC = {"hbm_gbps": 819.0, "bf16_tflops": 197.0}
+
+
+def load_measured(path: Optional[str] = None,
+                  root: Optional[str] = None) -> Optional[Dict]:
+    """Measured ceilings from the newest ENV_PROBE_r*.json (env_probe.py
+    output: hbm.gbps and mxu_bf16.tflops on THIS chip through THIS relay).
+    Returns {"hbm_gbps", "bf16_tflops", "source"} or None if no probe has
+    been banked."""
+    if path is None:
+        root = root or os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+        probes = sorted(glob.glob(os.path.join(root, "ENV_PROBE_r*.json")))
+        if not probes:
+            return None
+        path = probes[-1]
+    try:
+        d = json.load(open(path))
+        return {"hbm_gbps": float(d["hbm"]["gbps"]),
+                "bf16_tflops": float(d["mxu_bf16"]["tflops"]),
+                "source": os.path.basename(path)}
+    except Exception:
+        return None
+
+
+def cost_of(compiled) -> Optional[Dict]:
+    """{"bytes", "flops"} from a compiled program's cost_analysis(), or
+    None when the backend provides no cost model."""
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        bytes_accessed = float(ca.get("bytes accessed", 0.0)) or None
+        flops = float(ca.get("flops", 0.0)) or None
+        if bytes_accessed or flops:
+            return {"bytes": bytes_accessed, "flops": flops}
+    except Exception:
+        pass
+    return None
+
+
+def _floors_ms(cost: Dict, hbm_gbps: float, tflops: float):
+    byte_ms = (cost["bytes"] / 1e9 / hbm_gbps * 1e3
+               if cost.get("bytes") else 0.0)
+    flop_ms = (cost["flops"] / (tflops * 1e12) * 1e3
+               if cost.get("flops") else 0.0)
+    return byte_ms, flop_ms
+
+
+def _fraction(step_ms: float, byte_ms: float, flop_ms: float):
+    """(fraction<=1, raw fraction, suspect?) — see module docstring."""
+    floor = max(byte_ms, flop_ms)
+    if not floor:
+        return None, None, False
+    raw = floor / step_ms
+    if raw <= 1.0:
+        return round(raw, 3), round(raw, 3), False
+    # byte floor claims the step beat physics: distrust bytes, fall back to
+    # the exact-count flop floor (still clamped — flop counting can also
+    # overstate when XLA elides work, e.g. masked branches folded away)
+    fallback = min(flop_ms / step_ms, 1.0) if flop_ms else 1.0
+    return round(fallback, 3), round(raw, 3), True
+
+
+def roofline(step_ms: float, cost: Optional[Dict],
+             measured: Optional[Dict] = None,
+             spec: Dict = SPEC) -> Dict:
+    """The one true roofline block. Always emits fraction_of_spec_floor;
+    adds fraction_of_measured_floor when a measured probe exists (pass
+    measured=load_measured() or leave None to skip). Fractions are clamped
+    to <= 1.0 with `byte_model_suspect` + `*_raw` preserved when the HLO
+    byte model overcounted (see module docstring)."""
+    if not cost or not step_ms:
+        return {}
+    out = {}
+    if cost.get("bytes"):
+        out["bytes_per_step_gb"] = round(cost["bytes"] / 1e9, 2)
+    if cost.get("flops"):
+        out["tflop_per_step"] = round(cost["flops"] / 1e12, 2)
+        out["mfu_vs_spec"] = round(
+            cost["flops"] / (step_ms * 1e-3) / (spec["bf16_tflops"] * 1e12),
+            3)
+    byte_ms, flop_ms = _floors_ms(cost, spec["hbm_gbps"],
+                                  spec["bf16_tflops"])
+    out["spec"] = {"hbm_gbps": spec["hbm_gbps"],
+                   "bf16_tflops": spec["bf16_tflops"],
+                   "hbm_floor_ms": round(byte_ms, 2),
+                   "flop_floor_ms": round(flop_ms, 2),
+                   "bound": "mxu" if flop_ms > byte_ms else "hbm"}
+    frac, raw, suspect = _fraction(step_ms, byte_ms, flop_ms)
+    out["fraction_of_spec_floor"] = frac
+    if suspect:
+        out["fraction_of_spec_floor_raw"] = raw
+    if measured:
+        mbyte_ms, mflop_ms = _floors_ms(cost, measured["hbm_gbps"],
+                                        measured["bf16_tflops"])
+        out["measured"] = {
+            "hbm_gbps": measured["hbm_gbps"],
+            "bf16_tflops": measured["bf16_tflops"],
+            "source": measured.get("source"),
+            "hbm_floor_ms": round(mbyte_ms, 2),
+            "flop_floor_ms": round(mflop_ms, 2),
+            "bound": "mxu" if mflop_ms > mbyte_ms else "hbm"}
+        mfrac, mraw, msuspect = _fraction(step_ms, mbyte_ms, mflop_ms)
+        out["fraction_of_measured_floor"] = mfrac
+        if msuspect:
+            out["fraction_of_measured_floor_raw"] = mraw
+        suspect = suspect or msuspect
+    if suspect:
+        out["byte_model_suspect"] = (
+            "cost_analysis 'bytes accessed' counts logical operand traffic "
+            "per HLO op; fused intermediates never touch HBM, so the byte "
+            "floor overstates — fraction recomputed against the flop floor "
+            "and clamped (raw preserved)")
+    return out
