@@ -120,6 +120,15 @@ class Ctx:
     # parallelism: per-expert FFNs run where their weights live). None (the
     # default) = no constraints; models stay mesh-agnostic.
     act_sharder: Optional[Callable] = None
+    # pipeline-parallel hook (parallel/pipeline.make_pipeliner): a callable
+    # (merged_effective_params, tokens, block_kwargs) -> tokens that runs a
+    # model's homogeneous `blocks/{i}/...` stack as an S-stage GPipe over a
+    # `pipe` mesh axis. Differentiable end-to-end (the tick loop has a
+    # static trip count, so reverse AD scans it; microbatch gradient
+    # accumulation falls out of the scan transpose) — the FULL CPG train
+    # step (piggymask grads included, which flow through effective_params
+    # OUTSIDE the block stack) works unchanged. None = run blocks inline.
+    pipeline: Optional[Callable] = None
 
     def constrain(self, x, tag: str):
         """Apply the activation-sharding constraint for `tag`, if any."""
@@ -532,6 +541,7 @@ def apply(
     act_stats: Optional[Dict] = None,
     fused_chain: bool = False,
     act_sharder: Optional[Callable] = None,
+    pipeline: Optional[Callable] = None,
     **kwargs,
 ):
     """Run the model. With `masking=None` (default), `shared` must hold
@@ -555,6 +565,7 @@ def apply(
         act_stats=act_stats,
         fused_chain=fused_chain,
         act_sharder=act_sharder,
+        pipeline=pipeline,
     )
     out = model_fn(ctx, x, **kwargs)
     return out, ctx.new_bn_state

@@ -123,13 +123,29 @@ def vit_cifar(ctx: Ctx, x, num_classes: int, mult: float = 1.0,
     # the MLP are per-token (stay local); XLA all-gathers k/v only where
     # attention actually mixes tokens.
     x = ctx.constrain(x, "tokens")
-    for i in range(depth):
-        x = x + attention(ctx, f"blocks/{i}/attn",
-                          layernorm(ctx, f"blocks/{i}/ln1", x),
-                          heads_n, head_dim)
-        x = x + mlp(ctx, f"blocks/{i}/mlp",
-                    layernorm(ctx, f"blocks/{i}/ln2", x), hidden)
+    if ctx.pipeline is not None and ctx.mode == "apply":
+        # pipeline-parallel path (parallel/pipeline.make_pipeliner): the
+        # homogeneous block stack runs as an S-stage GPipe over the `pipe`
+        # mesh axis. Requires the default effective-params path — raw-weight
+        # Masking and int8 serving select weights per-layer inside the
+        # block, which the staged block_fn does not thread.
+        if ctx.masking is not None or ctx.quant_scales is not None:
+            raise ValueError("pipeline requires the default effective-"
+                             "params path (no Masking / int8 serving)")
+        merged = dict(ctx.shared)
+        merged.update(ctx.private)
+        x = ctx.pipeline(merged, x,
+                         dict(heads_n=heads_n, head_dim=head_dim,
+                              hidden=hidden), ctx.compute_dtype)
         x = ctx.constrain(x, "tokens")
+    else:
+        for i in range(depth):
+            x = x + attention(ctx, f"blocks/{i}/attn",
+                              layernorm(ctx, f"blocks/{i}/ln1", x),
+                              heads_n, head_dim)
+            x = x + mlp(ctx, f"blocks/{i}/mlp",
+                        layernorm(ctx, f"blocks/{i}/ln2", x), hidden)
+            x = ctx.constrain(x, "tokens")
     x = layernorm(ctx, "norm", x)
     x = jnp.mean(x.astype(jnp.float32), axis=1)
     return head(ctx, "classifier", x, num_classes)

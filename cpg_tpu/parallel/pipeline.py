@@ -134,10 +134,12 @@ def pipeline_blocks(mesh: Mesh, stacked: Dict[str, jax.Array], x,
         odt = jnp.result_type(xm.dtype, compute_dtype)
         buf = jnp.zeros(xm.shape[1:], odt)
         outs = jnp.zeros(xm.shape, odt)
-        if hasattr(jax.lax, "pvary"):
-            # the carries BECOME device-varying inside the loop (ppermute /
-            # stage-local writes); the replicated zeros must be pre-marked
-            # or the varying-manual-axes check rejects the fori_loop carry
+        # the carries BECOME device-varying inside the loop (ppermute /
+        # stage-local writes); the replicated zeros must be pre-marked
+        # or the varying-manual-axes check rejects the fori_loop carry
+        if hasattr(jax.lax, "pcast"):
+            buf, outs = jax.lax.pcast((buf, outs), axis, to="varying")
+        elif hasattr(jax.lax, "pvary"):  # pre-pcast jax
             buf, outs = jax.lax.pvary((buf, outs), (axis,))
         _, outs = jax.lax.fori_loop(0, n_micro + S - 1, tick, (buf, outs))
         # only stage S-1 holds real rows; psum broadcasts them around the
@@ -147,3 +149,29 @@ def pipeline_blocks(mesh: Mesh, stacked: Dict[str, jax.Array], x,
     out = _shard_map(local_fn, mesh=mesh, in_specs=(P(axis), P()),
                      out_specs=P())(stacked, xm)
     return out.reshape(x.shape)
+
+
+def make_pipeliner(mesh: Mesh, n_micro: int, depth: int,
+                   block_fn: Callable = _default_block_fn,
+                   axis: str = "pipe") -> Callable:
+    """The production PP hook: a callable for `TrainConfig.pipeliner` /
+    `Ctx.pipeline` that models invoke on their homogeneous block stack.
+
+    Signature models see: `(merged_params, tokens, block_kwargs,
+    compute_dtype) -> tokens`, where merged_params is the model's flat
+    {**effective_shared, **private} dict (the stacking transpose happens
+    in-graph — a pure layout op XLA folds away). TRAINABLE: the whole
+    schedule is reverse-differentiable (static-trip fori_loop scans; the
+    scan transpose IS the microbatch gradient accumulation of GPipe — each
+    tick's backward adds its contribution into the stacked param cotangent),
+    so jax.value_and_grad over a loss through this hook returns exact
+    per-parameter grads and the full CPG train step (ownership gating,
+    piggymask grads, optimizers) runs unchanged. Parity vs sequential
+    training: tests/test_pipeline_train.py."""
+    def run(merged, tokens, block_kwargs, compute_dtype=jnp.float32):
+        stacked, _ = stack_block_params(merged, depth)
+        return pipeline_blocks(mesh, stacked, tokens, n_micro,
+                               block_kwargs=block_kwargs, block_fn=block_fn,
+                               compute_dtype=compute_dtype, axis=axis)
+
+    return run

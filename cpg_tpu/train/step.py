@@ -82,6 +82,14 @@ class TrainConfig:
                          # constrain labeled seams — "tokens" (sequence
                          # parallelism) and "experts" (expert parallelism) —
                          # under the step's mesh. None = mesh-agnostic.
+    pipeliner: Optional[Any] = None  # pipeline-parallel hook
+                         # (parallel/pipeline.make_pipeliner): models run
+                         # their homogeneous blocks/{i}/ stack as an S-stage
+                         # GPipe over a `pipe` mesh axis — TRAINABLE (the
+                         # tick loop reverse-differentiates; its scan
+                         # transpose is GPipe's microbatch gradient
+                         # accumulation), so this same step trains through
+                         # the pipeline unchanged. None = blocks run inline.
     compiler_options: Optional[Dict[str, str]] = None  # per-executable XLA
                          # options for the jitted steps, e.g.
                          # {"xla_tpu_scoped_vmem_limit_kib": "65536"} — a
@@ -170,6 +178,7 @@ def build_train_step(
             model_fn, params, private, bn_state, x, train=True,
             compute_dtype=cfg.compute_dtype, masking=masking,
             fused_chain=cfg.use_fused_chain, act_sharder=cfg.act_sharder,
+            pipeline=cfg.pipeliner,
             num_classes=num_classes, mult=mult, **model_kwargs,
         )
 
@@ -291,6 +300,7 @@ def build_eval_step(
             model_fn, eff, private, bn_state, x, train=False,
             compute_dtype=cfg.compute_dtype, masking=masking,
             fused_chain=cfg.use_fused_chain, act_sharder=cfg.act_sharder,
+            pipeline=cfg.pipeliner,
             num_classes=num_classes, mult=mult,
             **model_kwargs,
         )
