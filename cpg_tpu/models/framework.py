@@ -120,6 +120,20 @@ class Ctx:
     # parallelism: per-expert FFNs run where their weights live). None (the
     # default) = no constraints; models stay mesh-agnostic.
     act_sharder: Optional[Callable] = None
+    # run homogeneous `blocks/{i}/...` stacks as ONE lax.scan over in-graph
+    # stacked per-block params instead of `depth` unrolled copies (models/
+    # vit.py scan branch). The HLO shrinks ~depth x — the lever for the
+    # axon relay's remote-compile failures on deep/large-batch transformer
+    # programs (tpu_compile_helper exit 1; PERF_vit_remat_r4.json) — and
+    # compile time drops with it. Numerics are the same block math on the
+    # same params; jnp.stack's transpose (split) routes grads back to the
+    # flat per-block dict entries, so optimizers/growth/checkpoints are
+    # untouched. Requires the default effective-params path.
+    scan_blocks: bool = False
+    # jax.checkpoint each scanned block's body (the transformer remat
+    # standard: residuals per block are one (N, T, D) carry instead of every
+    # intermediate). Set by TrainConfig.remat when scan_blocks is on.
+    scan_remat: bool = False
     # pipeline-parallel hook (parallel/pipeline.make_pipeliner): a callable
     # (merged_effective_params, tokens, block_kwargs) -> tokens that runs a
     # model's homogeneous `blocks/{i}/...` stack as an S-stage GPipe over a
@@ -542,6 +556,8 @@ def apply(
     fused_chain: bool = False,
     act_sharder: Optional[Callable] = None,
     pipeline: Optional[Callable] = None,
+    scan_blocks: bool = False,
+    scan_remat: bool = False,
     **kwargs,
 ):
     """Run the model. With `masking=None` (default), `shared` must hold
@@ -566,6 +582,8 @@ def apply(
         fused_chain=fused_chain,
         act_sharder=act_sharder,
         pipeline=pipeline,
+        scan_blocks=scan_blocks,
+        scan_remat=scan_remat,
     )
     out = model_fn(ctx, x, **kwargs)
     return out, ctx.new_bn_state

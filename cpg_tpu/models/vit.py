@@ -98,6 +98,50 @@ def vit_block(ctx: Ctx, x, heads_n: int, head_dim: int, hidden: int):
     return x
 
 
+def _stacked_block_params(tree, depth: int):
+    """Stack the per-block entries `blocks/{i}/<rel>` into `{<rel>:
+    (depth, ...)}` IN-GRAPH. jnp.stack is differentiable (its transpose is
+    split), so gradients land back on the flat per-block dict entries — the
+    ownership gating, optimizers, pruning, growth, and checkpoints outside
+    the model never see stacked tensors. The stack itself is one
+    params-sized concat per step (~2 copies of the block weights' bytes),
+    trivial next to the block GEMMs it feeds."""
+    rels = sorted(k[len("blocks/0/"):] for k in tree
+                  if k.startswith("blocks/0/"))
+    return {r: jnp.stack([tree[f"blocks/{i}/{r}"] for i in range(depth)])
+            for r in rels}
+
+
+def scan_vit_blocks(ctx: Ctx, x, depth: int, heads_n: int, head_dim: int,
+                    hidden: int):
+    """Run the homogeneous block stack as ONE `lax.scan` over stacked
+    params: the compiled HLO holds a single block body instead of `depth`
+    unrolled copies. This is the structural fix for the axon relay's
+    remote-compile failures on deep transformer programs (vit_b16 b>=256 /
+    vit_cifar b>=4096 died with tpu_compile_helper exit 1 every round —
+    PERF_vit_r3.json, PERF_vit_remat_r4.json) and cuts compile time with
+    it. `ctx.scan_remat` checkpoints each block body — the transformer
+    remat standard (per-block residual = one (N, T, D) carry)."""
+    if ctx.masking is not None or ctx.quant_scales is not None:
+        raise ValueError("scan_blocks requires the default effective-"
+                         "params path (no Masking / int8 serving)")
+    stacked = (_stacked_block_params(ctx.shared, depth),
+               _stacked_block_params(ctx.private, depth))
+
+    def body(h, sl):
+        bsh, bpr = sl
+        sub = Ctx(mode="apply", train=ctx.train, shared=bsh, private=bpr,
+                  compute_dtype=ctx.compute_dtype,
+                  act_sharder=ctx.act_sharder)
+        h = vit_block(sub, h, heads_n, head_dim, hidden)
+        return ctx.constrain(h, "tokens"), None
+
+    if ctx.scan_remat:
+        body = jax.checkpoint(body, prevent_cse=False)
+    x, _ = jax.lax.scan(body, x, stacked)
+    return x
+
+
 def vit_cifar(ctx: Ctx, x, num_classes: int, mult: float = 1.0,
               depth: int = 6, dim: int = 256, heads: int = 4,
               patch: int = 4, mlp_ratio: int = 4):
@@ -138,6 +182,8 @@ def vit_cifar(ctx: Ctx, x, num_classes: int, mult: float = 1.0,
                          dict(heads_n=heads_n, head_dim=head_dim,
                               hidden=hidden), ctx.compute_dtype)
         x = ctx.constrain(x, "tokens")
+    elif ctx.scan_blocks and ctx.mode == "apply":
+        x = scan_vit_blocks(ctx, x, depth, heads_n, head_dim, hidden)
     else:
         for i in range(depth):
             x = x + attention(ctx, f"blocks/{i}/attn",

@@ -77,6 +77,16 @@ class TrainConfig:
                          # adjacent convs never touches HBM. VGG-only call
                          # sites; orthogonal to use_pallas/use_pallas_conv
                          # (which fuse the MASK into the op — don't combine).
+    scan_blocks: bool = False  # run homogeneous transformer `blocks/{i}/`
+                         # stacks as ONE lax.scan over in-graph stacked
+                         # params (models/vit.scan_vit_blocks): the HLO
+                         # shrinks ~depth x — fixes the relay's remote-
+                         # compile failures on deep/large-batch ViT programs
+                         # and cuts compile time. Composes with `remat`
+                         # (which then checkpoints each scanned block — the
+                         # transformer remat standard — instead of the whole
+                         # forward). Default effective-params path only
+                         # (exclusive with use_pallas*/fused-chain masking).
     act_sharder: Optional[Any] = None  # (array, tag) -> array activation-
                          # sharding hook (parallel/mesh.act_sharder): models
                          # constrain labeled seams — "tokens" (sequence
@@ -178,15 +188,18 @@ def build_train_step(
             model_fn, params, private, bn_state, x, train=True,
             compute_dtype=cfg.compute_dtype, masking=masking,
             fused_chain=cfg.use_fused_chain, act_sharder=cfg.act_sharder,
-            pipeline=cfg.pipeliner,
+            pipeline=cfg.pipeliner, scan_blocks=cfg.scan_blocks,
+            scan_remat=cfg.remat and cfg.scan_blocks,
             num_classes=num_classes, mult=mult, **model_kwargs,
         )
 
     if cfg.remat and cfg.remat_policy:
         raise ValueError("remat and remat_policy are mutually exclusive")
-    if cfg.remat:
+    if cfg.remat and not cfg.scan_blocks:
         # rematerialize activations in the backward pass instead of storing
-        # them: HBM is the usual TPU bottleneck for 224px models
+        # them: HBM is the usual TPU bottleneck for 224px models. Under
+        # scan_blocks the checkpoint moves INSIDE the scan body instead
+        # (per-block remat — see fw.Ctx.scan_remat).
         forward = jax.checkpoint(forward)
     elif cfg.remat_policy:
         forward = jax.checkpoint(forward, policy=remat_policy(cfg.remat_policy))
@@ -300,7 +313,7 @@ def build_eval_step(
             model_fn, eff, private, bn_state, x, train=False,
             compute_dtype=cfg.compute_dtype, masking=masking,
             fused_chain=cfg.use_fused_chain, act_sharder=cfg.act_sharder,
-            pipeline=cfg.pipeliner,
+            pipeline=cfg.pipeliner, scan_blocks=cfg.scan_blocks,
             num_classes=num_classes, mult=mult,
             **model_kwargs,
         )

@@ -96,6 +96,9 @@ def main():
                    help="selective remat (save conv outputs only)")
     p.add_argument("--vmem-kib", type=int,
                    help="xla_tpu_scoped_vmem_limit_kib compiler option")
+    p.add_argument("--scan-blocks", action="store_true",
+                   help="lax.scan the transformer block stack (ViT): HLO "
+                        "shrinks ~depth x — the remote-compile-failure fix")
     p.add_argument("--use-pallas", action="store_true")
     p.add_argument("--use-pallas-conv", action="store_true")
     args = p.parse_args()
@@ -111,7 +114,8 @@ def main():
         else jnp.float32,
         optimizer=args.optimizer, remat=args.remat,
         remat_policy=args.remat_policy, use_pallas=args.use_pallas,
-        use_pallas_conv=args.use_pallas_conv, compiler_options=copts)
+        use_pallas_conv=args.use_pallas_conv, scan_blocks=args.scan_blocks,
+        compiler_options=copts)
 
     archs, batch_map, aug_family = EXPS[args.exp]
     if args.arch:
@@ -122,6 +126,7 @@ def main():
                   ("optimizer", args.optimizer), ("dtype", args.dtype),
                   ("remat", args.remat), ("remat_policy", args.remat_policy),
                   ("vmem_kib", args.vmem_kib),
+                  ("scan_blocks", args.scan_blocks),
                   ("use_pallas", args.use_pallas),
                   ("use_pallas_conv", args.use_pallas_conv))
                   if v}}
