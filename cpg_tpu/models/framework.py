@@ -255,7 +255,7 @@ def sconv(
             if use_bias:
                 b = ctx.private_param(f"{name}/bias", (features,),
                                       lambda r, s: jnp.zeros(s))
-                y = y + b
+                y = y + b.astype(y.dtype)
             return y
         w = ctx.masked_weight(key, w)
     if ctx.quant_scales is not None and key in ctx.quant_scales:
@@ -270,7 +270,7 @@ def sconv(
         if use_bias:
             b = ctx.private_param(f"{name}/bias", (features,),
                                   lambda r, s: jnp.zeros(s))
-            y = y + b
+            y = y + b.astype(y.dtype)
         return y
     # output dtype == compute dtype so fwd/bwd conv dtypes agree; the TPU MXU
     # accumulates in f32 internally either way, and BN upcasts to f32 next.
@@ -284,7 +284,7 @@ def sconv(
     )
     if use_bias:
         b = ctx.private_param(f"{name}/bias", (features,), lambda r, s: jnp.zeros(s))
-        y = y + b
+        y = y + b.astype(y.dtype)
     # Residual tag for TrainConfig.remat_policy='convs': under that policy the
     # backward pass stores ONLY these conv outputs and recomputes the cheap
     # BN/ReLU/pool epilogues from them — no conv is ever recomputed, but the
@@ -315,7 +315,7 @@ def sdense(
             if use_bias:
                 b = ctx.private_param(f"{name}/bias", (features,),
                                       lambda r, s: jnp.zeros(s))
-                y = y + b
+                y = y + b.astype(y.dtype)
             return y
         w = ctx.masked_weight(key, w)
     if ctx.quant_scales is not None and key in ctx.quant_scales:
@@ -326,7 +326,7 @@ def sdense(
         if use_bias:
             b = ctx.private_param(f"{name}/bias", (features,),
                                   lambda r, s: jnp.zeros(s))
-            y = y + b
+            y = y + b.astype(y.dtype)
         return y
     y = jnp.dot(
         x.astype(ctx.compute_dtype),
@@ -335,7 +335,7 @@ def sdense(
     )
     if use_bias:
         b = ctx.private_param(f"{name}/bias", (features,), lambda r, s: jnp.zeros(s))
-        y = y + b
+        y = y + b.astype(y.dtype)
     # See sconv: saved residual under remat_policy='convs'.
     return checkpoint_name(y, "sdense_out")
 

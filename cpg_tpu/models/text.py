@@ -42,13 +42,21 @@ def textcls(ctx: Ctx, tokens, num_classes: int, mult: float = 1.0,
     # parallel/mesh.act_sharder the token axis shards over the model axis
     # here and at every block boundary
     x = ctx.constrain(x, "tokens")
-    for i in range(depth):
-        x = x + attention(ctx, f"blocks/{i}/attn",
-                          layernorm(ctx, f"blocks/{i}/ln1", x),
-                          heads_n, head_dim, causal=causal)
-        x = x + mlp(ctx, f"blocks/{i}/mlp",
-                    layernorm(ctx, f"blocks/{i}/ln2", x), hidden)
-        x = ctx.constrain(x, "tokens")
+    if ctx.scan_blocks and ctx.mode == "apply":
+        # same homogeneous stack as models/vit.py -> same lax.scan lowering
+        # (one block body in the HLO instead of `depth` unrolled copies)
+        from .vit import scan_vit_blocks
+
+        x = scan_vit_blocks(ctx, x, depth, heads_n, head_dim, hidden,
+                            causal=causal)
+    else:
+        for i in range(depth):
+            x = x + attention(ctx, f"blocks/{i}/attn",
+                              layernorm(ctx, f"blocks/{i}/ln1", x),
+                              heads_n, head_dim, causal=causal)
+            x = x + mlp(ctx, f"blocks/{i}/mlp",
+                        layernorm(ctx, f"blocks/{i}/ln2", x), hidden)
+            x = ctx.constrain(x, "tokens")
     x = layernorm(ctx, "norm", x)
     x = jnp.mean(x.astype(jnp.float32), axis=1)
     return head(ctx, "classifier", x, num_classes)

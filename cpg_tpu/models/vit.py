@@ -86,14 +86,15 @@ def mlp(ctx: Ctx, name: str, x, hidden: int):
     return x2.reshape(n, t, d)
 
 
-def vit_block(ctx: Ctx, x, heads_n: int, head_dim: int, hidden: int):
+def vit_block(ctx: Ctx, x, heads_n: int, head_dim: int, hidden: int,
+              causal: bool = False):
     """One pre-LN encoder block with RELATIVE param names (attn/..., ln1/...,
     mlp/..., ln2/...). vit_cifar uses the absolute `blocks/{i}/` spelling of
     the same math; this relative form is what parallel/pipeline.py stages
     over (params for block i are sliced out of the stacked tree and fed back
     under these names)."""
     x = x + attention(ctx, "attn", layernorm(ctx, "ln1", x), heads_n,
-                      head_dim)
+                      head_dim, causal=causal)
     x = x + mlp(ctx, "mlp", layernorm(ctx, "ln2", x), hidden)
     return x
 
@@ -113,7 +114,7 @@ def _stacked_block_params(tree, depth: int):
 
 
 def scan_vit_blocks(ctx: Ctx, x, depth: int, heads_n: int, head_dim: int,
-                    hidden: int):
+                    hidden: int, causal: bool = False):
     """Run the homogeneous block stack as ONE `lax.scan` over stacked
     params: the compiled HLO holds a single block body instead of `depth`
     unrolled copies. This is the structural fix for the axon relay's
@@ -133,7 +134,7 @@ def scan_vit_blocks(ctx: Ctx, x, depth: int, heads_n: int, head_dim: int,
         sub = Ctx(mode="apply", train=ctx.train, shared=bsh, private=bpr,
                   compute_dtype=ctx.compute_dtype,
                   act_sharder=ctx.act_sharder)
-        h = vit_block(sub, h, heads_n, head_dim, hidden)
+        h = vit_block(sub, h, heads_n, head_dim, hidden, causal=causal)
         return ctx.constrain(h, "tokens"), None
 
     if ctx.scan_remat:

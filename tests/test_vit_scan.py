@@ -79,6 +79,45 @@ def test_scan_remat_matches_scan():
                                    rtol=1e-6, atol=1e-7, err_msg=k)
 
 
+def test_scan_bf16_carry_dtype():
+    """The scan carry is dtype-strict — it caught a real framework bug:
+    sdense/sconv added the f32 private bias WITHOUT casting, silently
+    promoting every transformer activation (residual stream included) to
+    f32 under bf16 compute — 2x the HBM bytes on every residual/LN read.
+    Biases now cast to the output dtype; this test pins both (scan runs at
+    bf16 at all = no f32 leak into the carry)."""
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 16, 16, 3),
+                    jnp.float32)
+    shared, private, bn = fw.init(jax.random.PRNGKey(0), tiny_vit, x,
+                                  num_classes=4)
+    y0, _ = fw.apply(tiny_vit, shared, private, bn, x, train=True,
+                     compute_dtype=jnp.bfloat16, num_classes=4)
+    y1, _ = fw.apply(tiny_vit, shared, private, bn, x, train=True,
+                     compute_dtype=jnp.bfloat16, scan_blocks=True,
+                     num_classes=4)
+    # bf16 programs differ (scan vs unrolled) — compiler reassociation
+    # drift at bf16 scale is expected; the invariant is "runs + agrees to
+    # bf16 precision", the f32 bit-parity lives in the tests above
+    np.testing.assert_allclose(np.array(y0), np.array(y1),
+                               rtol=0.02, atol=0.02)
+
+
+def test_scan_textcls_matches_unrolled():
+    """textcls shares the homogeneous stack (and the causal mask must ride
+    into the scanned body)."""
+    from cpg_tpu.models.text import textcls
+
+    ids = jnp.asarray(np.random.RandomState(1).randint(0, 64, (4, 16)))
+    kw = dict(num_classes=4, depth=2, dim=32, heads=2, vocab=64, causal=True)
+    shared, private, bn = fw.init(jax.random.PRNGKey(0), textcls,
+                                  jnp.zeros((4, 16)), **kw)
+    y0, _ = fw.apply(textcls, shared, private, bn, ids, train=False, **kw)
+    y1, _ = fw.apply(textcls, shared, private, bn, ids, train=False,
+                     scan_blocks=True, **kw)
+    np.testing.assert_allclose(np.array(y0), np.array(y1),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_scan_rejects_masked_path():
     """scan_blocks requires the default effective-params path — the raw-
     weight Masking (Pallas) and int8 serving paths select weights by NAME
