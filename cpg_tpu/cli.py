@@ -190,6 +190,7 @@ def _train_cfg(args):
         use_pallas=args.use_pallas, use_pallas_conv=args.use_pallas_conv,
         use_fused_chain=args.fused_chain,
         remat=args.remat, remat_policy=args.remat_policy,
+        scan_blocks=getattr(args, "scan_blocks", False),
         compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16"
         else jnp.float32,
     )
@@ -260,6 +261,12 @@ def _add_common(p):
     p.add_argument("--remat-policy", default=None, choices=["convs"],
                    help="selective remat: save only conv/dense outputs as "
                         "residuals, recompute BN/ReLU epilogues in backward")
+    p.add_argument("--scan-blocks", action="store_true",
+                   help="transformer families: compile the homogeneous "
+                        "block stack as ONE lax.scan body instead of depth "
+                        "unrolled copies (fixes deep/large-batch remote-"
+                        "compile failures; composes with --remat as "
+                        "per-block checkpointing)")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--finetune-epochs", type=int, default=30)

@@ -118,6 +118,60 @@ def test_scan_textcls_matches_unrolled():
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.skipif(jax.device_count() < 4, reason="needs 4 fake devices")
+def test_scan_tp_sp_matches_single_device():
+    """scan_blocks composes with the parallel axes: kernels TP-sharded on
+    the model axis + the 'tokens' SP seam constrained INSIDE the scan body
+    must reproduce unsharded scan numerics."""
+    from cpg_tpu.parallel.mesh import (act_sharder, batch_sharding,
+                                       make_mesh, replicated,
+                                       shared_shardings)
+
+    data = synthetic_task(0)
+    cfg = TrainConfig(lr=0.05, compute_dtype=jnp.float32, scan_blocks=True)
+
+    def build(cfg):
+        state = init_state("tiny_vit", jax.random.PRNGKey(0))
+        start_task(state, "a", 4, jax.random.PRNGKey(1))
+        step, (opt_w, opt_pm) = build_train_step(
+            tiny_vit, num_classes=4, mult=1.0, has_piggymask=False, cfg=cfg,
+            augment_fn=lambda x, r: normalize01(x))
+        t = state.tasks[1]
+        ows = opt_w.init({"shared": state.shared, "private": t.private})
+        opms = opt_pm.init({})
+        return state, t, step, ows, opms
+
+    x = jnp.asarray(data["train_x"][:32])
+    y = jnp.asarray(data["train_y"][:32])
+    rng = jax.random.PRNGKey(3)
+
+    state, t, step, ows, opms = build(cfg)
+    ref = jax.jit(step)(state.shared, {}, t.private, t.bn_state, ows, opms,
+                        state.ownership, 1, x, y, rng, 0)
+
+    mesh = make_mesh(n_model=2, devices=jax.devices()[:4])
+    cfg_p = dataclasses.replace(
+        cfg, act_sharder=act_sharder(mesh, tokens=True))
+    state2, t2, step2, ows2, opms2 = build(cfg_p)
+    ksh = shared_shardings(mesh, state2.shared, model_sharded=True)
+    rep = replicated(mesh)
+    shared = jax.device_put(state2.shared, ksh)
+    own = jax.device_put(state2.ownership, ksh)
+    priv = jax.tree.map(lambda a: jax.device_put(a, rep), t2.private)
+    bn = jax.tree.map(lambda a: jax.device_put(a, rep), t2.bn_state)
+    ows2 = jax.tree.map(lambda a: jax.device_put(a, rep), ows2)
+    xs = jax.device_put(x, batch_sharding(mesh))
+    ys = jax.device_put(y, batch_sharding(mesh))
+    got = jax.jit(step2)(shared, {}, priv, bn, ows2, opms2, own, 1, xs, ys,
+                         rng, 0)
+
+    np.testing.assert_allclose(float(ref[-1]["loss"]),
+                               float(got[-1]["loss"]), rtol=1e-5)
+    for k in ref[0]:
+        np.testing.assert_allclose(np.array(ref[0][k]), np.array(got[0][k]),
+                                   rtol=3e-4, atol=3e-6, err_msg=k)
+
+
 def test_scan_rejects_masked_path():
     """scan_blocks requires the default effective-params path — the raw-
     weight Masking (Pallas) and int8 serving paths select weights by NAME
