@@ -62,12 +62,58 @@ from cpg_tpu.train.losses import call_loss, cross_entropy
 from cpg_tpu.train.step import TrainConfig, build_train_step, make_train_step
 from cpg_tpu.utils.roofline import cost_of, load_measured, roofline
 
-BATCH = int(os.environ.get("PROFILE_BATCH", 8192))
-WARMUP = int(os.environ.get("PROFILE_WARMUP", 4))
-ITERS = int(os.environ.get("PROFILE_ITERS", 8))
-K = int(os.environ.get("PROFILE_K", 8))  # in-graph loop trip count
-OUT = os.environ.get("PROFILE_OUT", "PROFILE_r4.json")
+import argparse
+
+_ap = argparse.ArgumentParser(
+    description="stage-decompose + trace-profile a production train step "
+                "(arch-generic; defaults reproduce the r4 VGG headline run)")
+_ap.add_argument("--arch", default="vgg16_bn_cifar")
+_ap.add_argument("--batch", type=int,
+                 default=int(os.environ.get("PROFILE_BATCH", 8192)))
+_ap.add_argument("--warmup", type=int,
+                 default=int(os.environ.get("PROFILE_WARMUP", 4)))
+_ap.add_argument("--iters", type=int,
+                 default=int(os.environ.get("PROFILE_ITERS", 8)))
+_ap.add_argument("--k", type=int,
+                 default=int(os.environ.get("PROFILE_K", 8)),
+                 help="in-graph loop trip count")
+_ap.add_argument("--out", default=os.environ.get("PROFILE_OUT",
+                                                 "PROFILE_r4.json"))
+_ap.add_argument("--scan-blocks", action="store_true",
+                 help="transformer block stack as one lax.scan body")
+_ARGS = _ap.parse_args()
+
+BATCH = _ARGS.batch
+WARMUP = _ARGS.warmup
+ITERS = _ARGS.iters
+K = _ARGS.k
+OUT = _ARGS.out
 VMEM64M = {"xla_tpu_scoped_vmem_limit_kib": "65536"}
+
+
+def summarize_trace(tdir, top=40):
+    """Leaf-op time breakdown from the jax.profiler Chrome-trace dump
+    (plugins/profile/<ts>/*.trace.json.gz): total device-lane duration per
+    op name, top-N — the evidence layer behind the attribution claims."""
+    import glob
+    import gzip
+
+    traces = sorted(glob.glob(os.path.join(
+        tdir, "**", "*.trace.json.gz"), recursive=True))
+    if not traces:
+        return None
+    ev = json.load(gzip.open(traces[-1]))["traceEvents"]
+    # device lanes: pid whose name mentions TPU/device; fall back to all
+    # complete events with a dur
+    names = {}
+    for e in ev:
+        if e.get("ph") == "X" and "dur" in e and e.get("name"):
+            n = e["name"]
+            names[n] = names.get(n, 0.0) + e["dur"] / 1e3  # us -> ms
+    rows = sorted(names.items(), key=lambda kv: -kv[1])[:top]
+    return {"trace_file": os.path.relpath(traces[-1], tdir),
+            "total_named_ms": round(sum(names.values()), 2),
+            "top_ops_ms": {k: round(v, 3) for k, v in rows}}
 
 
 def _bank(result):
@@ -93,10 +139,11 @@ def main():
         sys.exit(2)
     import __graft_entry__ as ge
 
-    arch = "vgg16_bn_cifar"
+    arch = _ARGS.arch
     # scoped-VMEM is a TPU-only compile option (CPU smoke runs reject it)
     co = VMEM64M if jax.default_backend() != "cpu" else None
-    cfg = TrainConfig(compute_dtype=jnp.bfloat16, compiler_options=co)
+    cfg = TrainConfig(compute_dtype=jnp.bfloat16, compiler_options=co,
+                      scan_blocks=_ARGS.scan_blocks)
     model_fn, in_shape = get_model(arch)
     state = ge._build_state(arch=arch, mult=1.0, num_classes=5, seed=0)
     task = state.tasks[2]
@@ -109,7 +156,8 @@ def main():
     y = jax.device_put(jax.random.randint(rng, (BATCH,), 0, 5, jnp.int32))
 
     result = {"config": {"arch": arch, "batch": BATCH, "dtype": "bfloat16",
-                         "compiler_options": co, "iters": ITERS},
+                         "compiler_options": co, "iters": ITERS,
+                         "scan_blocks": _ARGS.scan_blocks},
               "device": str(jax.devices()[0]), "stages_ms": {}}
     S = result["stages_ms"]
 
@@ -134,6 +182,7 @@ def main():
                                compute_dtype=cfg.compute_dtype)
         logits, _ = fw.apply(model_fn, eff, pr, b, xx, train=True,
                              compute_dtype=cfg.compute_dtype,
+                             scan_blocks=cfg.scan_blocks,
                              num_classes=5, mult=1.0)
         return call_loss(cross_entropy, logits, yy, 0)
 
@@ -272,6 +321,7 @@ def main():
             files += [os.path.join(root, f) for f in fns]
         result["trace_files"] = {
             os.path.relpath(f, tdir): os.path.getsize(f) for f in files}
+        result["trace_summary"] = summarize_trace(tdir)
     except Exception as e:
         result["trace_files"] = f"failed: {type(e).__name__}: {str(e)[:200]}"
     _bank(result)
