@@ -226,6 +226,22 @@ def _record_act(ctx: "Ctx", key: str, s):
 # ---------------------------------------------------------------------------
 
 
+def _patchify_dot(x, w, k: int, out_dtype):
+    """kernel==stride==k VALID conv as space-to-depth + GEMM.
+
+    x: (N, H, W, C) with H, W divisible by k; w: (k, k, C, F) HWIO. The
+    patch flatten order (kh, kw, cin) matches HWIO's row-major (H, W, I)
+    flatten, so `w.reshape(k*k*C, F)` pairs elements identically to the
+    strided conv — same math, MXU-shaped."""
+    n, hh, ww, c = x.shape
+    f = w.shape[-1]
+    x = x.reshape(n, hh // k, k, ww // k, k, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
+        n, (hh // k) * (ww // k), k * k * c)
+    y = jnp.dot(x, w.reshape(k * k * c, f), preferred_element_type=out_dtype)
+    return y.reshape(n, hh // k, ww // k, f)
+
+
 def sconv(
     ctx: Ctx,
     name: str,
@@ -274,14 +290,26 @@ def sconv(
         return y
     # output dtype == compute dtype so fwd/bwd conv dtypes agree; the TPU MXU
     # accumulates in f32 internally either way, and BN upcasts to f32 next.
-    y = jax.lax.conv_general_dilated(
-        x.astype(ctx.compute_dtype),
-        w.astype(ctx.compute_dtype),
-        window_strides=(stride, stride),
-        padding=padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=ctx.compute_dtype,
-    )
+    if (kernel == stride and kernel > 1 and padding == "VALID"
+            and x.shape[1] % kernel == 0 and x.shape[2] % kernel == 0):
+        # Non-overlapping patch embedding (ViT stems). XLA's conv lowering
+        # runs this geometry at ~2 TFLOPS (PROFILE_vit_b16_r4.json: ~13.5 ms
+        # of conv fusions for a ~30 GFLOP patchify); as an input-side
+        # space-to-depth + one GEMM the contraction is (k*k*cin) x features —
+        # clean MXU tiles, and wgrad becomes a GEMM too. The transpose
+        # touches only the (gradient-free) input image once.
+        y = _patchify_dot(x.astype(ctx.compute_dtype),
+                          w.astype(ctx.compute_dtype), kernel,
+                          ctx.compute_dtype)
+    else:
+        y = jax.lax.conv_general_dilated(
+            x.astype(ctx.compute_dtype),
+            w.astype(ctx.compute_dtype),
+            window_strides=(stride, stride),
+            padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=ctx.compute_dtype,
+        )
     if use_bias:
         b = ctx.private_param(f"{name}/bias", (features,), lambda r, s: jnp.zeros(s))
         y = y + b.astype(y.dtype)
@@ -301,7 +329,15 @@ def sdense(
     use_bias: bool = True,
     kernel_init=normal_init(0.01),
 ) -> jax.Array:
-    """Sharable dense layer (ref:models/layers.py SharableLinear)."""
+    """Sharable dense layer (ref:models/layers.py SharableLinear).
+
+    Accepts any leading batch shape — (N, F_in) or (N, T, F_in): jnp.dot
+    contracts the LAST axis and XLA's dot_general merges the leading dims
+    INSIDE the GEMM, where the layout is known. Callers must NOT pre-flatten
+    (N, T, D) to (N*T, D): with a non-lane-aligned T (e.g. 196 tokens) that
+    reshape crosses padded sublanes and materializes as a real copy — the
+    vit_b16 trace showed ~13 ms/step of reshape traffic from exactly this
+    (PROFILE_vit_b16_r4.json)."""
     key = f"{name}/kernel"
     w = ctx.shared_param(key, (x.shape[-1], features), kernel_init)
     mk = ctx.masking
@@ -310,8 +346,12 @@ def sdense(
         if mk.pallas_dense and pm is not None:
             from ..ops.pallas.masked_matmul import masked_matmul
 
-            y = masked_matmul(x.astype(ctx.compute_dtype), w, own, pm,
+            # the Pallas kernel is 2D (M, K) — flatten leading dims for
+            # this path only
+            x2 = x.reshape(-1, x.shape[-1])
+            y = masked_matmul(x2.astype(ctx.compute_dtype), w, own, pm,
                               mk.task_id, mk.threshold, mk.mask_mode)
+            y = y.reshape(*x.shape[:-1], features)
             if use_bias:
                 b = ctx.private_param(f"{name}/bias", (features,),
                                       lambda r, s: jnp.zeros(s))

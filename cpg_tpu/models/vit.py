@@ -55,10 +55,12 @@ def attention(ctx: Ctx, name: str, x, heads_n: int, head_dim: int,
     `causal=True` masks scores lower-triangularly (models/text.py)."""
     n, t, d = x.shape
     inner = heads_n * head_dim
-    x2 = x.reshape(n * t, d)
-    q = sdense(ctx, f"{name}/q", x2, inner, kernel_init=xavier_normal)
-    k = sdense(ctx, f"{name}/k", x2, inner, kernel_init=xavier_normal)
-    v = sdense(ctx, f"{name}/v", x2, inner, kernel_init=xavier_normal)
+    # sdense consumes (N, T, D) directly — flattening to (N*T, D) here
+    # materializes a copy when T is not lane-aligned (196 tokens @ 224px);
+    # the (T, inner) -> (T, H, hd) splits below are minor-most and free.
+    q = sdense(ctx, f"{name}/q", x, inner, kernel_init=xavier_normal)
+    k = sdense(ctx, f"{name}/k", x, inner, kernel_init=xavier_normal)
+    v = sdense(ctx, f"{name}/v", x, inner, kernel_init=xavier_normal)
     q = q.reshape(n, t, heads_n, head_dim)
     k = k.reshape(n, t, heads_n, head_dim)
     v = v.reshape(n, t, heads_n, head_dim)
@@ -72,18 +74,15 @@ def attention(ctx: Ctx, name: str, x, heads_n: int, head_dim: int,
     att = jax.nn.softmax(scores, axis=-1).astype(ctx.compute_dtype)
     out = jnp.einsum("nhts,nshd->nthd", att, v,
                      preferred_element_type=ctx.compute_dtype)
-    out = out.reshape(n * t, inner)
-    out = sdense(ctx, f"{name}/proj", out, d, kernel_init=xavier_normal)
-    return out.reshape(n, t, d)
+    out = out.reshape(n, t, inner)  # minor-most merge: free
+    return sdense(ctx, f"{name}/proj", out, d, kernel_init=xavier_normal)
 
 
 def mlp(ctx: Ctx, name: str, x, hidden: int):
-    n, t, d = x.shape
-    x2 = x.reshape(n * t, d)
-    x2 = gelu(sdense(ctx, f"{name}/fc1", x2, hidden,
-                     kernel_init=xavier_normal))
-    x2 = sdense(ctx, f"{name}/fc2", x2, d, kernel_init=xavier_normal)
-    return x2.reshape(n, t, d)
+    d = x.shape[-1]
+    h = gelu(sdense(ctx, f"{name}/fc1", x, hidden,
+                    kernel_init=xavier_normal))
+    return sdense(ctx, f"{name}/fc2", h, d, kernel_init=xavier_normal)
 
 
 def vit_block(ctx: Ctx, x, heads_n: int, head_dim: int, hidden: int,

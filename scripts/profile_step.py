@@ -91,29 +91,57 @@ OUT = _ARGS.out
 VMEM64M = {"xla_tpu_scoped_vmem_limit_kib": "65536"}
 
 
-def summarize_trace(tdir, top=40):
+def summarize_trace(tdir, top=30, steps=2):
     """Leaf-op time breakdown from the jax.profiler Chrome-trace dump
-    (plugins/profile/<ts>/*.trace.json.gz): total device-lane duration per
-    op name, top-N — the evidence layer behind the attribution claims."""
+    (plugins/profile/<ts>/*.trace.json.gz), DEVICE 'XLA Ops' lane only
+    (host python spans and the relay readback would otherwise dominate the
+    table). Aggregates by op-name class (fusion kind, digits stripped) and
+    by duration bucket — the evidence layer behind the attribution claims;
+    `steps` = steps captured inside the trace (per-step = total/steps)."""
+    import collections
     import glob
     import gzip
+    import re
 
     traces = sorted(glob.glob(os.path.join(
         tdir, "**", "*.trace.json.gz"), recursive=True))
     if not traces:
         return None
     ev = json.load(gzip.open(traces[-1]))["traceEvents"]
-    # device lanes: pid whose name mentions TPU/device; fall back to all
-    # complete events with a dur
-    names = {}
-    for e in ev:
-        if e.get("ph") == "X" and "dur" in e and e.get("name"):
-            n = e["name"]
-            names[n] = names.get(n, 0.0) + e["dur"] / 1e3  # us -> ms
-    rows = sorted(names.items(), key=lambda kv: -kv[1])[:top]
+    dev_pid = {e["pid"] for e in ev
+               if e.get("ph") == "M" and e.get("name") == "process_name"
+               and "TPU" in e["args"].get("name", "")}
+    op_tid = {(e["pid"], e["tid"]) for e in ev
+              if e.get("ph") == "M" and e.get("name") == "thread_name"
+              and e["args"].get("name") == "XLA Ops" and e["pid"] in dev_pid}
+    leaf = [e for e in ev if e.get("ph") == "X"
+            and (e.get("pid"), e.get("tid")) in op_tid]
+    if not leaf:
+        return {"trace_file": os.path.relpath(traces[-1], tdir),
+                "error": "no device XLA-Ops lane found"}
+
+    def cls(n):
+        return re.sub(r"\d+$", "", n.split(".")[0])
+
+    agg = collections.Counter()
+    cnt = collections.Counter()
+    for e in leaf:
+        agg[cls(e["name"])] += e["dur"] / 1e3 / steps
+        cnt[cls(e["name"])] += 1
+    buckets = {}
+    for lo, hi in ((0, 50), (50, 100), (100, 200), (200, 500),
+                   (500, 1000), (1000, 10**9)):
+        sel = [e["dur"] for e in leaf if lo <= e["dur"] < hi]
+        buckets[f"{lo}-{hi if hi < 10**9 else 'inf'}us"] = {
+            "n": len(sel), "ms_per_step": round(sum(sel) / 1e3 / steps, 2)}
+    total = sum(agg.values())
     return {"trace_file": os.path.relpath(traces[-1], tdir),
-            "total_named_ms": round(sum(names.values()), 2),
-            "top_ops_ms": {k: round(v, 3) for k, v in rows}}
+            "leaf_ops_per_step": len(leaf) // steps,
+            "device_ms_per_step": round(total, 2),
+            "by_class_ms_per_step": {
+                k: {"ms": round(v, 2), "n_per_step": cnt[k] // steps}
+                for k, v in agg.most_common(top)},
+            "duration_buckets": buckets}
 
 
 def _bank(result):
