@@ -191,6 +191,7 @@ def _train_cfg(args):
         use_fused_chain=args.fused_chain,
         remat=args.remat, remat_policy=args.remat_policy,
         scan_blocks=getattr(args, "scan_blocks", False),
+        flash_attention=getattr(args, "flash_attention", False),
         compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16"
         else jnp.float32,
     )
@@ -267,6 +268,11 @@ def _add_common(p):
                         "unrolled copies (fixes deep/large-batch remote-"
                         "compile failures; composes with --remat as "
                         "per-block checkpointing)")
+    p.add_argument("--flash-attention", action="store_true",
+                   help="transformer families: attention via the Pallas "
+                        "flash kernel (scores never touch HBM, fwd+bwd). "
+                        "Same math, not bit-identical — keep constant "
+                        "across a task sequence")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--finetune-epochs", type=int, default=30)

@@ -134,6 +134,12 @@ class Ctx:
     # standard: residuals per block are one (N, T, D) carry instead of every
     # intermediate). Set by TrainConfig.remat when scan_blocks is on.
     scan_remat: bool = False
+    # route transformer attention through the Pallas flash kernel
+    # (ops/flash.py): the (N, H, T, S) score tensor never exists in HBM,
+    # forward or backward. Honored by models/vit.py attention(); ignored
+    # during init (eager Pallas dispatch at init time is pure waste) and
+    # under int8 serving (the kernel has no int8 path).
+    flash_attention: bool = False
     # pipeline-parallel hook (parallel/pipeline.make_pipeliner): a callable
     # (merged_effective_params, tokens, block_kwargs) -> tokens that runs a
     # model's homogeneous `blocks/{i}/...` stack as an S-stage GPipe over a
@@ -598,6 +604,7 @@ def apply(
     pipeline: Optional[Callable] = None,
     scan_blocks: bool = False,
     scan_remat: bool = False,
+    flash_attention: bool = False,
     **kwargs,
 ):
     """Run the model. With `masking=None` (default), `shared` must hold
@@ -624,6 +631,7 @@ def apply(
         pipeline=pipeline,
         scan_blocks=scan_blocks,
         scan_remat=scan_remat,
+        flash_attention=flash_attention,
     )
     out = model_fn(ctx, x, **kwargs)
     return out, ctx.new_bn_state

@@ -64,16 +64,26 @@ def attention(ctx: Ctx, name: str, x, heads_n: int, head_dim: int,
     q = q.reshape(n, t, heads_n, head_dim)
     k = k.reshape(n, t, heads_n, head_dim)
     v = v.reshape(n, t, heads_n, head_dim)
-    # f32 scores + softmax (bf16 softmax loses too much around the max)
-    scores = jnp.einsum("nthd,nshd->nhts", q, k,
-                        preferred_element_type=jnp.float32)
-    scores = scores * (1.0 / head_dim ** 0.5)
-    if causal:
-        tri = jnp.tril(jnp.ones((t, t), jnp.bool_))
-        scores = jnp.where(tri, scores, -1e30)
-    att = jax.nn.softmax(scores, axis=-1).astype(ctx.compute_dtype)
-    out = jnp.einsum("nhts,nshd->nthd", att, v,
-                     preferred_element_type=ctx.compute_dtype)
+    if (ctx.flash_attention and ctx.mode != "init"
+            and ctx.quant_scales is None):
+        # Pallas flash kernel (ops/flash.py): online softmax, the (T, S)
+        # score matrix never touches HBM fwd or bwd. Same math as the
+        # einsum path (f32 softmax inside the kernel), not bit-identical
+        # (tile-wise reassociation) — keep the flag constant across a
+        # task sequence so old-task bit-exactness holds within a run.
+        from ..ops.flash import flash_mha
+        out = flash_mha(q, k, v, causal=causal)
+    else:
+        # f32 scores + softmax (bf16 softmax loses too much around the max)
+        scores = jnp.einsum("nthd,nshd->nhts", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores * (1.0 / head_dim ** 0.5)
+        if causal:
+            tri = jnp.tril(jnp.ones((t, t), jnp.bool_))
+            scores = jnp.where(tri, scores, -1e30)
+        att = jax.nn.softmax(scores, axis=-1).astype(ctx.compute_dtype)
+        out = jnp.einsum("nhts,nshd->nthd", att, v,
+                         preferred_element_type=ctx.compute_dtype)
     out = out.reshape(n, t, inner)  # minor-most merge: free
     return sdense(ctx, f"{name}/proj", out, d, kernel_init=xavier_normal)
 
@@ -132,7 +142,8 @@ def scan_vit_blocks(ctx: Ctx, x, depth: int, heads_n: int, head_dim: int,
         bsh, bpr = sl
         sub = Ctx(mode="apply", train=ctx.train, shared=bsh, private=bpr,
                   compute_dtype=ctx.compute_dtype,
-                  act_sharder=ctx.act_sharder)
+                  act_sharder=ctx.act_sharder,
+                  flash_attention=ctx.flash_attention)
         h = vit_block(sub, h, heads_n, head_dim, hidden, causal=causal)
         return ctx.constrain(h, "tokens"), None
 

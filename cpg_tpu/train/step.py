@@ -77,6 +77,12 @@ class TrainConfig:
                          # adjacent convs never touches HBM. VGG-only call
                          # sites; orthogonal to use_pallas/use_pallas_conv
                          # (which fuse the MASK into the op — don't combine).
+    flash_attention: bool = False  # transformer attention via the Pallas
+                         # flash kernel (ops/flash.py): the (T, S) score
+                         # tensor never exists in HBM, fwd or bwd — targets
+                         # the ViT step's score/softmax traffic. Same math,
+                         # not bit-identical (tile reassociation); keep it
+                         # constant across a task sequence.
     scan_blocks: bool = False  # run homogeneous transformer `blocks/{i}/`
                          # stacks as ONE lax.scan over in-graph stacked
                          # params (models/vit.scan_vit_blocks): the HLO
@@ -190,6 +196,7 @@ def build_train_step(
             fused_chain=cfg.use_fused_chain, act_sharder=cfg.act_sharder,
             pipeline=cfg.pipeliner, scan_blocks=cfg.scan_blocks,
             scan_remat=cfg.remat and cfg.scan_blocks,
+            flash_attention=cfg.flash_attention,
             num_classes=num_classes, mult=mult, **model_kwargs,
         )
 
@@ -314,6 +321,7 @@ def build_eval_step(
             compute_dtype=cfg.compute_dtype, masking=masking,
             fused_chain=cfg.use_fused_chain, act_sharder=cfg.act_sharder,
             pipeline=cfg.pipeliner, scan_blocks=cfg.scan_blocks,
+            flash_attention=cfg.flash_attention,
             num_classes=num_classes, mult=mult,
             **model_kwargs,
         )

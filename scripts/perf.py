@@ -99,6 +99,9 @@ def main():
     p.add_argument("--scan-blocks", action="store_true",
                    help="lax.scan the transformer block stack (ViT): HLO "
                         "shrinks ~depth x — the remote-compile-failure fix")
+    p.add_argument("--flash-attention", action="store_true",
+                   help="transformer attention via the Pallas flash kernel "
+                        "(ops/flash.py): scores never touch HBM, fwd+bwd")
     p.add_argument("--use-pallas", action="store_true")
     p.add_argument("--use-pallas-conv", action="store_true")
     args = p.parse_args()
@@ -115,6 +118,7 @@ def main():
         optimizer=args.optimizer, remat=args.remat,
         remat_policy=args.remat_policy, use_pallas=args.use_pallas,
         use_pallas_conv=args.use_pallas_conv, scan_blocks=args.scan_blocks,
+        flash_attention=args.flash_attention,
         compiler_options=copts)
 
     archs, batch_map, aug_family = EXPS[args.exp]
@@ -127,6 +131,7 @@ def main():
                   ("remat", args.remat), ("remat_policy", args.remat_policy),
                   ("vmem_kib", args.vmem_kib),
                   ("scan_blocks", args.scan_blocks),
+                  ("flash_attention", args.flash_attention),
                   ("use_pallas", args.use_pallas),
                   ("use_pallas_conv", args.use_pallas_conv))
                   if v}}
