@@ -140,6 +140,16 @@ class Ctx:
     # during init (eager Pallas dispatch at init time is pure waste) and
     # under int8 serving (the kernel has no int8 path).
     flash_attention: bool = False
+    # fused-QKV GEMM in models/vit.attention(): compute q|k|v as ONE
+    # (D, 3*inner) matmul on the effective-params path (params stay three
+    # separate kernels; the concat is in-graph and its transpose is a
+    # split). None = auto by embed dim: measured on v5e, the fusion is
+    # +24% step time at D=256 (vit_cifar b1024: 16.2k -> 20.2k img/s,
+    # activations dominate so reading the block input once wins) but -2%
+    # at D=768 (vit_b16 b128: 832 -> 815 img/s, the 2x per-step weight
+    # concat/split traffic outweighs the saved activation reads) —
+    # PERF_vit_qkv_r4.json. True/False force it for probes.
+    qkv_fused: Optional[bool] = None
     # pipeline-parallel hook (parallel/pipeline.make_pipeliner): a callable
     # (merged_effective_params, tokens, block_kwargs) -> tokens that runs a
     # model's homogeneous `blocks/{i}/...` stack as an S-stage GPipe over a
@@ -605,6 +615,7 @@ def apply(
     scan_blocks: bool = False,
     scan_remat: bool = False,
     flash_attention: bool = False,
+    qkv_fused: Optional[bool] = None,
     **kwargs,
 ):
     """Run the model. With `masking=None` (default), `shared` must hold
@@ -632,6 +643,7 @@ def apply(
         scan_blocks=scan_blocks,
         scan_remat=scan_remat,
         flash_attention=flash_attention,
+        qkv_fused=qkv_fused,
     )
     out = model_fn(ctx, x, **kwargs)
     return out, ctx.new_bn_state

@@ -61,9 +61,31 @@ from jax.experimental.pallas.ops.tpu import flash_attention as _fa
 
 _BLOCK = 128  # kernel sequence tile (== upstream MIN_BLOCK_SIZE)
 
+# Trace-time BlockSizes override for perf probes (scripts/perf.py
+# --flash-block): None = upstream defaults (all-128 tiles). Bigger tiles
+# cut the Pallas grid at short sequence lengths where per-invocation
+# overhead dominates. Set via set_block() BEFORE building/jitting a step.
+_BLOCK_OVERRIDE = None
+
+
+def set_block(block: int | None):
+    """Use `block`-sized sequence tiles in every kernel (fwd + bwd).
+    None restores the upstream defaults. Takes effect at trace time."""
+    global _BLOCK_OVERRIDE
+    if block is None:
+        _BLOCK_OVERRIDE = None
+        return
+    _BLOCK_OVERRIDE = _fa.BlockSizes(
+        block_q=block, block_k_major=block, block_k=block, block_b=1,
+        block_q_major_dkv=block, block_k_major_dkv=block,
+        block_k_dkv=block, block_q_dkv=block,
+        block_k_major_dq=block, block_k_dq=block, block_q_dq=block,
+    )
+
 
 def _pad_len(t: int) -> int:
-    return -(-t // _BLOCK) * _BLOCK
+    m = max(_BLOCK, _BLOCK_OVERRIDE.block_q if _BLOCK_OVERRIDE else _BLOCK)
+    return -(-t // m) * m
 
 
 def _flash_nhtd(q, k, v, causal: bool, sm_scale: float):
@@ -79,7 +101,8 @@ def _flash_nhtd(q, k, v, causal: bool, sm_scale: float):
         ids = jnp.broadcast_to(ids, (n, tp))
         seg = _fa.SegmentIds(q=ids, kv=ids)
     out = _fa.flash_attention(q, k, v, segment_ids=seg, causal=causal,
-                              sm_scale=sm_scale)
+                              sm_scale=sm_scale,
+                              block_sizes=_BLOCK_OVERRIDE)
     return out[:, :, :t, :] if tp != t else out
 
 

@@ -83,6 +83,11 @@ class TrainConfig:
                          # the ViT step's score/softmax traffic. Same math,
                          # not bit-identical (tile reassociation); keep it
                          # constant across a task sequence.
+    qkv_fused: Optional[bool] = None  # fused (D, 3*inner) QKV GEMM in ViT
+                         # attention. None = auto by embed dim (fuse iff
+                         # D < 512 — the measured v5e crossover: +24% at
+                         # D=256, -2% at D=768; PERF_vit_qkv_r4.json).
+                         # True/False force it for probes.
     scan_blocks: bool = False  # run homogeneous transformer `blocks/{i}/`
                          # stacks as ONE lax.scan over in-graph stacked
                          # params (models/vit.scan_vit_blocks): the HLO
@@ -196,7 +201,7 @@ def build_train_step(
             fused_chain=cfg.use_fused_chain, act_sharder=cfg.act_sharder,
             pipeline=cfg.pipeliner, scan_blocks=cfg.scan_blocks,
             scan_remat=cfg.remat and cfg.scan_blocks,
-            flash_attention=cfg.flash_attention,
+            flash_attention=cfg.flash_attention, qkv_fused=cfg.qkv_fused,
             num_classes=num_classes, mult=mult, **model_kwargs,
         )
 
@@ -321,7 +326,7 @@ def build_eval_step(
             compute_dtype=cfg.compute_dtype, masking=masking,
             fused_chain=cfg.use_fused_chain, act_sharder=cfg.act_sharder,
             pipeline=cfg.pipeliner, scan_blocks=cfg.scan_blocks,
-            flash_attention=cfg.flash_attention,
+            flash_attention=cfg.flash_attention, qkv_fused=cfg.qkv_fused,
             num_classes=num_classes, mult=mult,
             **model_kwargs,
         )

@@ -102,6 +102,13 @@ def main():
     p.add_argument("--flash-attention", action="store_true",
                    help="transformer attention via the Pallas flash kernel "
                         "(ops/flash.py): scores never touch HBM, fwd+bwd")
+    p.add_argument("--flash-block", type=int,
+                   help="override every flash kernel tile to this sequence "
+                        "block size (default: upstream 128s)")
+    p.add_argument("--qkv-fused", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="ViT fused (D, 3*inner) QKV GEMM: auto = embed-dim "
+                        "gate (fuse iff D < 512, the measured crossover)")
     p.add_argument("--use-pallas", action="store_true")
     p.add_argument("--use-pallas-conv", action="store_true")
     args = p.parse_args()
@@ -110,6 +117,9 @@ def main():
         sys.exit(2)
 
     from cpg_tpu.train.step import TrainConfig
+    if args.flash_block:
+        from cpg_tpu.ops.flash import set_block
+        set_block(args.flash_block)
     copts = ({"xla_tpu_scoped_vmem_limit_kib": str(args.vmem_kib)}
              if args.vmem_kib else None)
     cfg = TrainConfig(
@@ -119,6 +129,7 @@ def main():
         remat_policy=args.remat_policy, use_pallas=args.use_pallas,
         use_pallas_conv=args.use_pallas_conv, scan_blocks=args.scan_blocks,
         flash_attention=args.flash_attention,
+        qkv_fused={"auto": None, "on": True, "off": False}[args.qkv_fused],
         compiler_options=copts)
 
     archs, batch_map, aug_family = EXPS[args.exp]
@@ -132,6 +143,9 @@ def main():
                   ("vmem_kib", args.vmem_kib),
                   ("scan_blocks", args.scan_blocks),
                   ("flash_attention", args.flash_attention),
+                  ("flash_block", args.flash_block),
+                  ("qkv_fused", None if args.qkv_fused == "auto"
+                   else args.qkv_fused),
                   ("use_pallas", args.use_pallas),
                   ("use_pallas_conv", args.use_pallas_conv))
                   if v}}
