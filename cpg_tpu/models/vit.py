@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from .framework import (Ctx, gelu, head, layernorm, normal_init, sconv,
                         sdense, xavier_normal)
@@ -82,6 +83,9 @@ def attention(ctx: Ctx, name: str, x, heads_n: int, head_dim: int,
         qkv = jnp.dot(x.astype(ctx.compute_dtype), w3,
                       preferred_element_type=ctx.compute_dtype)
         qkv = qkv + jnp.concatenate(bs).astype(qkv.dtype)
+        # keep remat_policy='convs' semantics identical to the 3-GEMM sdense
+        # path: the projection output stays a saved residual when fused
+        qkv = checkpoint_name(qkv, "sdense_out")
         q = qkv[..., :inner]
         k = qkv[..., inner:2 * inner]
         v = qkv[..., 2 * inner:]

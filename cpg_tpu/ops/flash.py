@@ -16,8 +16,9 @@ Pallas TPU kernel with a custom VJP, i.e. fused forward AND backward)
 rather than hand-rolling a fourth Pallas kernel: the fused_chain lesson
 (RESULTS.md round 3 — 1.45-2.05x SLOWER than XLA, refuted on hardware) is
 that hand kernels must earn their place with measurements; this one starts
-from the tuned upstream implementation and we measure it the same way
-(PERF_vit_flash_r4.json).
+from the tuned upstream implementation and is measured the same way on the
+real chip (PERF_vit_flash_r5.json; default policy recorded there and in
+RESULTS.md).
 
 Layout/padding contract (this module's whole job):
   * models/vit.py attention() carries (N, T, H, hd); the kernel wants

@@ -15,6 +15,7 @@ ratio — no recompile inside the compact loop.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 from typing import Any, Callable, Dict, Optional
 
@@ -241,9 +242,20 @@ def build_train_step(
                 logits, new_bn = forward(eff, private, bn_state, x)
             return call_loss(loss_fn, logits, y, it), (logits, new_bn)
 
-        (loss, (logits, new_bn)), grads = jax.value_and_grad(
-            compute_loss, argnums=(0, 1, 2), has_aux=True
-        )(shared, piggymask, private)
+        # Flash attention off-TPU: the kernel's custom-VJP BACKWARD is
+        # linearized by value_and_grad OUTSIDE flash_mha's interpret-mode
+        # scope (ops/flash.py docstring), so the whole grad trace must sit
+        # inside pltpu.force_tpu_interpret_mode() for the bwd Pallas kernel
+        # to lower on CPU (tests/dryrun). No-op on TPU. (ADVICE r4 #1.)
+        if cfg.flash_attention and jax.default_backend() != "tpu":
+            from jax.experimental.pallas import tpu as pltpu
+            grad_scope = pltpu.force_tpu_interpret_mode()
+        else:
+            grad_scope = contextlib.nullcontext()
+        with grad_scope:
+            (loss, (logits, new_bn)), grads = jax.value_and_grad(
+                compute_loss, argnums=(0, 1, 2), has_aux=True
+            )(shared, piggymask, private)
 
         # Ownership gating: prior-task weights get EXACTLY zero grad; weight
         # decay only on current-task entries (ref:pruner.py

@@ -80,6 +80,37 @@ def test_grads_match_einsum():
                                    err_msg=f"d{name}")
 
 
+def test_cpu_train_step_with_flash():
+    """PRODUCTION CPU training with flash_attention=True must work: the
+    custom-VJP backward kernel is linearized outside flash_mha's interpret
+    scope, so build_train_step wraps the grad trace itself (ADVICE r4 #1 —
+    previously only this test file wrapped it, and the --flash-attention CLI
+    flag crashed every CPU/dryrun training run)."""
+    from cpg_tpu.train.sequence import init_state, start_task
+    from cpg_tpu.train.step import TrainConfig, build_train_step
+
+    from .helpers import synthetic_task, tiny_vit, normalize01
+
+    data = synthetic_task(0)
+    cfg = TrainConfig(lr=0.05, compute_dtype=jnp.float32,
+                      flash_attention=True)
+    state = init_state("tiny_vit", jax.random.PRNGKey(0))
+    start_task(state, "a", 4, jax.random.PRNGKey(1))
+    step, (opt_w, opt_pm) = build_train_step(
+        tiny_vit, num_classes=4, mult=1.0, has_piggymask=False, cfg=cfg,
+        augment_fn=lambda x, r: normalize01(x))
+    t = state.tasks[1]
+    ows = opt_w.init({"shared": state.shared, "private": t.private})
+    opms = opt_pm.init({})
+    x = jnp.asarray(data["train_x"][:16])
+    y = jnp.asarray(data["train_y"][:16])
+    out = jax.jit(step)(state.shared, {}, t.private, t.bn_state, ows,
+                        opms, state.ownership, 1, x, y,
+                        jax.random.PRNGKey(3), 0)
+    loss = float(out[-1]["loss"])
+    assert np.isfinite(loss)
+
+
 def test_vit_forward_flag_parity():
     """The full vit_cifar forward with flash_attention=True stays close to
     the default path (same params, f32): the flag changes the attention
