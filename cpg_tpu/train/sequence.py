@@ -395,8 +395,17 @@ def _compact(state, name, data, cfg, seq, goal_acc, mgr, mgr_kw, model_fn,
     # ---- COMPACT: walk prune ratios, keep the largest meeting the goal -----
     # without an explicit goal, the pick accuracy is the implicit goal
     # (compaction must not cost more than allow_acc_diff — the reference
-    # always had a baseline goal from the individual-model file)
-    goal = ((goal_acc if goal_acc is not None else pick_acc)
+    # always had a baseline goal from the individual-model file).
+    # When the pick MISSED the goal (on_goal_miss='accept' best-effort, an
+    # extension — the reference aborts), the walk's goal is the best-effort
+    # accuracy, not the unreached one: otherwise the first candidate ratio
+    # fails an impossible bar, the incremental walk breaks at ratio 0.0, and
+    # the task HOARDS the entire free pool — every subsequent task then owns
+    # zero shared entries and degenerates to a private-BN+head probe
+    # (measured: the r4 Exp-1 forced-growth rows, RESULTS_r4_exp1.json,
+    # where tasks after the goal-1.1 grower own nothing in both the PackNet
+    # and PAE rows — the r5 analysis in RESULTS.md).
+    goal = ((min(goal_acc, pick_acc) if goal_acc is not None else pick_acc)
             - seq.allow_acc_diff)
     post_pick = snapshot(state)
     from ..core.pruner import snapshot_owned_counts

@@ -118,6 +118,15 @@ class TrainConfig:
                          # larger scoped-VMEM budget deepens fusion on the
                          # HBM-bound VGG step (measured r3: +4% at b8192).
                          # None = compiler defaults.
+    unfuse_gating: bool = False  # optimization_barrier between the grads and
+                         # the ownership-gating selects: PROFILE_r4_trace
+                         # shows the gate_and_decay select/add fused into
+                         # conv wgrads as epilogues (add_select_fusion.11,
+                         # 96 TFLOPS vs the 193 of clean conv fusions). The
+                         # barrier forces wgrads to complete unfused; gating
+                         # then runs as separate elementwise kernels over
+                         # weight-sized (small) tensors. Measured lever —
+                         # keep whichever way the chip says.
 
 
 def remat_policy(name: str):
@@ -260,6 +269,10 @@ def build_train_step(
         # Ownership gating: prior-task weights get EXACTLY zero grad; weight
         # decay only on current-task entries (ref:pruner.py
         # do_weight_decay_and_make_grads_zero).
+        if cfg.unfuse_gating:
+            # keep the gating selects OUT of the conv-wgrad fusions (see
+            # TrainConfig.unfuse_gating)
+            grads = jax.lax.optimization_barrier(grads)
         g_shared = gate_and_decay(grads[0], shared, ownership, task_id,
                                   cfg.weight_decay)
         wp_updates, opt_w_state = opt_w.update(

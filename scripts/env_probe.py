@@ -86,6 +86,32 @@ def _mxu_chain(dim, iters, streams):
     return 2.0 * dim ** 3 * iters * streams / dt / 1e12
 
 
+def _conv_chain(batch, hw, chans, iters):
+    """Serial 3x3 conv chain at the production step's mid/deep VGG fusion
+    shape. PROFILE_r4_trace.json showed 14 such fusions sustaining
+    ~193 TFLOPS (98% of spec) inside the real step while every matmul-chain
+    probe variant capped at ~125-133 — so the matmul chains, not the chip,
+    were the ceiling (VERDICT r4 weak #3). The measured MXU ceiling must
+    come from a kernel shape the chip demonstrably runs at full rate."""
+    @jax.jit
+    def f(x, k):
+        def body(i, x):
+            y = jax.lax.conv_general_dilated(
+                x, k, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.bfloat16)
+            return y * jnp.bfloat16(1e-2)  # keep magnitudes bounded
+
+        x = jax.lax.fori_loop(0, iters, body, x)
+        return x[0, 0, 0, 0].astype(jnp.float32)
+
+    x = jnp.full((batch, hw, hw, chans), 1e-2, jnp.bfloat16)
+    k = jnp.full((3, 3, chans, chans), 1e-2, jnp.bfloat16)
+    dt, _ = _timed(f, x, k)
+    flop = 2.0 * batch * hw * hw * 9 * chans * chans * iters
+    return flop / dt / 1e12
+
+
 def mxu_bf16(dim=4096, iters=60):
     best, variants = 0.0, {}
     for name, (d, it, s) in {
@@ -94,6 +120,14 @@ def mxu_bf16(dim=4096, iters=60):
         "4stream_4096": (dim, max(4, iters // 4), 4),
     }.items():
         tf = _mxu_chain(d, it, s)
+        variants[name] = round(tf, 1)
+        best = max(best, tf)
+    # production-shaped conv chains (VGG conv2_2 / conv3_x at bench batch)
+    for name, (b, hw, c, it) in {
+        "conv3x3_b2048_32x32_c64": (2048, 32, 64, max(8, iters // 4)),
+        "conv3x3_b2048_16x16_c128": (2048, 16, 128, max(8, iters // 4)),
+    }.items():
+        tf = _conv_chain(b, hw, c, it)
         variants[name] = round(tf, 1)
         best = max(best, tf)
     return {"tflops": round(best, 1), "spec_tflops": PEAK_BF16_TFLOPS,

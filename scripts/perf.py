@@ -49,12 +49,18 @@ EXPS = {
             {"vit_moe_cifar": (1024, 4096), "vit_cifar": (1024, 4096)},
             "cifar"),
     "sphere": (("spherenet20",), {"spherenet20": (256, 1024)}, "face"),
+    # the reference's Exp-2 workhorse (fine-grained @224); first roofline-
+    # accountable row r5 (VERDICT r4 weak #5)
+    "resnet": (("resnet50",), {"resnet50": (32, 64, 128)}, "imagenet"),
 }
 
 
 def _augment(family):
-    from cpg_tpu.data.augment import cifar_train_augment, face_train_augment
-    return {"cifar": cifar_train_augment, "face": face_train_augment}[family]
+    from cpg_tpu.data.augment import (cifar_train_augment,
+                                      face_train_augment,
+                                      imagenet_train_augment)
+    return {"cifar": cifar_train_augment, "face": face_train_augment,
+            "imagenet": imagenet_train_augment}[family]
 
 
 def sweep(arch, batches, cfg, augment_fn, measured, iters, warmup):
@@ -109,6 +115,13 @@ def main():
                    default="auto",
                    help="ViT fused (D, 3*inner) QKV GEMM: auto = embed-dim "
                         "gate (fuse iff D < 512, the measured crossover)")
+    p.add_argument("--unfuse-gating", action="store_true",
+                   help="optimization_barrier between grads and the "
+                        "ownership-gating selects (keeps them out of conv "
+                        "wgrad fusions — see TrainConfig.unfuse_gating)")
+    p.add_argument("--xla-flag", action="append", default=[],
+                   help="extra compiler option KEY=VALUE (repeatable), "
+                        "merged over --vmem-kib")
     p.add_argument("--use-pallas", action="store_true")
     p.add_argument("--use-pallas-conv", action="store_true")
     args = p.parse_args()
@@ -121,7 +134,11 @@ def main():
         from cpg_tpu.ops.flash import set_block
         set_block(args.flash_block)
     copts = ({"xla_tpu_scoped_vmem_limit_kib": str(args.vmem_kib)}
-             if args.vmem_kib else None)
+             if args.vmem_kib else {})
+    for kv in args.xla_flag:
+        k, _, v = kv.partition("=")
+        copts[k] = v
+    copts = copts or None
     cfg = TrainConfig(
         compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16"
         else jnp.float32,
@@ -130,6 +147,7 @@ def main():
         use_pallas_conv=args.use_pallas_conv, scan_blocks=args.scan_blocks,
         flash_attention=args.flash_attention,
         qkv_fused={"auto": None, "on": True, "off": False}[args.qkv_fused],
+        unfuse_gating=args.unfuse_gating,
         compiler_options=copts)
 
     archs, batch_map, aug_family = EXPS[args.exp]
@@ -146,6 +164,8 @@ def main():
                   ("flash_block", args.flash_block),
                   ("qkv_fused", None if args.qkv_fused == "auto"
                    else args.qkv_fused),
+                  ("unfuse_gating", args.unfuse_gating),
+                  ("xla_flags", args.xla_flag or None),
                   ("use_pallas", args.use_pallas),
                   ("use_pallas_conv", args.use_pallas_conv))
                   if v}}

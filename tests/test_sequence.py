@@ -292,3 +292,31 @@ def test_epoch_resume_mid_growth_retry(tmp_path, monkeypatch):
     # final_acc equals the pick acc here because the impossible goal makes
     # the walk keep the unpruned pick state (accept-best-effort semantics)
     assert reports[1].ratio_to_acc[0.2] > 0.5
+
+
+def test_goal_miss_still_compacts_no_hoarding():
+    """on_goal_miss='accept' must compact against the BEST-EFFORT accuracy
+    when the goal was unreachable: with the old semantics the walk broke at
+    the first ratio (< the impossible goal), chose ratio 0.0, and the task
+    hoarded the ENTIRE free pool — every later task owned zero shared
+    entries (the r4 Exp-1 starvation, RESULTS_r4_exp1.json)."""
+    import numpy as np
+
+    tasks = {"t1": synthetic_task(0), "t2": synthetic_task(3, num_classes=3),
+             "t3": synthetic_task(5)}
+    cfg = TrainConfig(lr=0.05, compute_dtype=jnp.float32)
+    seq = SequenceConfig(
+        finetune_epochs=3, prune_epochs=1, retrain_epochs=2,
+        prune_ratios=(0.2, 0.4), batch_size=32, lr=0.05, prune_freq=5,
+        growth_step=0.5, max_width_mult=1.5, on_goal_miss="accept", seed=0)
+    state, reports = run_sequence(
+        "tiny_cnn", tasks, cfg, seq, goals={"t2": 1.01},  # t2 unreachable
+        augment_fn=norm_augment, preprocess_fn=normalize01)
+    t2 = reports[1]
+    assert t2.grew == 1 and state.width_mult == 1.5
+    # the goal-missed task compacted within allow_acc_diff of best effort
+    assert t2.chosen_ratio > 0.0, (t2.chosen_ratio, t2.ratio_to_acc)
+    # ... so the NEXT task actually owns shared entries (no starvation)
+    own = np.concatenate([np.asarray(v).ravel()
+                          for v in state.ownership.values()])
+    assert int((own == 3).sum()) > 0, "t3 starved: owns no shared entries"
