@@ -272,7 +272,10 @@ def _add_common(p):
                    help="transformer families: attention via the Pallas "
                         "flash kernel (scores never touch HBM, fwd+bwd). "
                         "Same math, not bit-identical — keep constant "
-                        "across a task sequence")
+                        "across a task sequence. Measured 0.41-0.67x the "
+                        "default XLA attention at current sequence lengths "
+                        "(T<=256; PERF_vit_flash_r5.json) — opt-in for "
+                        "long-sequence models only")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--finetune-epochs", type=int, default=30)

@@ -15,10 +15,15 @@ We wrap `jax.experimental.pallas.ops.tpu.flash_attention` (a stock JAX
 Pallas TPU kernel with a custom VJP, i.e. fused forward AND backward)
 rather than hand-rolling a fourth Pallas kernel: the fused_chain lesson
 (RESULTS.md round 3 — 1.45-2.05x SLOWER than XLA, refuted on hardware) is
-that hand kernels must earn their place with measurements; this one starts
-from the tuned upstream implementation and is measured the same way on the
-real chip (PERF_vit_flash_r5.json; default policy recorded there and in
-RESULTS.md).
+that hand kernels must earn their place with measurements. MEASURED
+VERDICT (r5, PERF_vit_flash_r5.json): at every current family's sequence
+length (T <= 256 padded) this kernel is 0.41-0.67x the default XLA fused
+attention — it really does delete the score traffic (108.7 -> 74.6
+GB/step on vit_b16 b64) but those bytes were VMEM-local in XLA's fusion
+anyway, and it does NOT unlock large-batch compiles (b512 flash OOMs
+where the default path compiles). flash_attention therefore stays OFF by
+default; the flag remains a correct, CPU-parity-tested opt-in for future
+long-sequence members where ~T^2 score traffic actually dominates.
 
 Layout/padding contract (this module's whole job):
   * models/vit.py attention() carries (N, T, H, hd); the kernel wants

@@ -1,0 +1,47 @@
+#!/bin/bash
+# Round-5 TPU queue 3: VGG gating-unfuse A/B -> transformer serving row ->
+# Exp-1 PackNet/PAE re-run with the compaction fix. Waits for queue 2.
+#   setsid nohup bash scripts/r5_queue3.sh > /tmp/r5_queue3.log 2>&1 < /dev/null &
+set -u
+cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
+export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
+PY=/opt/venv/bin/python
+
+while ! grep -q "QUEUE2 COMPLETE\|abort" /tmp/r5_queue2.log 2>/dev/null; do
+  sleep 30
+done
+echo "queue2 done, starting queue3 $(date +%H:%M:%S)"
+
+probe() {
+  timeout 90 $PY -c "import jax; print(jax.devices())" >/dev/null 2>&1
+}
+
+run_to() {
+  local out=$1; shift
+  if [ -s "$out" ]; then echo "SKIP $out"; return 0; fi
+  if ! probe; then echo "RELAY DEAD before $out — abort"; exit 3; fi
+  echo "=== $(date +%H:%M:%S) start $out: $*"
+  "$@" > "$out.tmp" 2> "$out.err"
+  if [ $? -eq 0 ] && [ -s "$out.tmp" ]; then
+    mv "$out.tmp" "$out"; echo "=== done $out"
+  else
+    echo "=== FAILED $out:"; tail -3 "$out.err"
+  fi
+}
+
+# 1. headline lever A/B: unfuse the gating selects from conv wgrads
+run_to /tmp/r5_vgg_unfuse.json $PY scripts/perf.py --exp vgg \
+  --vmem-kib 65536 --unfuse-gating --batches 4096 8192
+
+# 2. transformer serving row (bf16 + calibrated int8)
+run_to /root/repo/PERF_vit_serving_r5.json $PY scripts/serve_bench.py \
+  --arch vit_cifar --batch 4096
+
+# 3. Exp-1 PackNet/PAE rows with the accept-mode compaction fix
+if ! probe; then echo "RELAY DEAD before exp1 — abort"; exit 3; fi
+echo "=== $(date +%H:%M:%S) start exp1_r5"
+$PY scripts/tpu_exp1_r5.py > /tmp/r5_exp1.log 2>&1
+echo "=== exp1_r5 rc=$? (RESULTS_r5_exp1.json written incrementally)"
+
+echo "QUEUE3 COMPLETE $(date +%H:%M:%S)"
