@@ -150,6 +150,15 @@ class Ctx:
     # concat/split traffic outweighs the saved activation reads) —
     # PERF_vit_qkv_r4.json. True/False force it for probes.
     qkv_fused: Optional[bool] = None
+    # BACKWARD-only fusion barrier on every sconv input (TrainConfig.
+    # unfuse_bn_bwd): the cotangent of a conv's input is its dgrad OUTPUT,
+    # and XLA fuses the downstream BN-backward reductions into that dgrad
+    # as epilogues (PROFILE_r4_trace fusion.20: 89 TFLOPS vs 193 for clean
+    # conv fusions). The barrier forces the dgrad to complete clean; the
+    # BN-bwd reduces then run as separate kernels. Forward math untouched
+    # (identity), backward math untouched (optimization_barrier is
+    # scheduling-only) — a measured lever, like unfuse_gating.
+    unfuse_bn_bwd: bool = False
     # pipeline-parallel hook (parallel/pipeline.make_pipeliner): a callable
     # (merged_effective_params, tokens, block_kwargs) -> tokens that runs a
     # model's homogeneous `blocks/{i}/...` stack as an S-stage GPipe over a
@@ -242,6 +251,25 @@ def _record_act(ctx: "Ctx", key: str, s):
 # ---------------------------------------------------------------------------
 
 
+@jax.custom_vjp
+def _bwd_barrier(x):
+    """Identity forward; optimization_barrier on the COTANGENT in backward.
+    Placed on a conv's input, it keeps that conv's dgrad fusion clean of
+    downstream epilogues (see Ctx.unfuse_bn_bwd)."""
+    return x
+
+
+def _bwd_barrier_fwd(x):
+    return x, None
+
+
+def _bwd_barrier_bwd(_, g):
+    return (jax.lax.optimization_barrier(g),)
+
+
+_bwd_barrier.defvjp(_bwd_barrier_fwd, _bwd_barrier_bwd)
+
+
 def _patchify_dot(x, w, k: int, out_dtype):
     """kernel==stride==k VALID conv as space-to-depth + GEMM.
 
@@ -270,6 +298,8 @@ def sconv(
     kernel_init=he_normal_fan_out,
 ) -> jax.Array:
     """Sharable 2D conv (ref:models/layers.py SharableConv2d). NHWC/HWIO."""
+    if ctx.unfuse_bn_bwd and ctx.mode != "init" and ctx.train:
+        x = _bwd_barrier(x)
     cin = x.shape[-1]
     key = f"{name}/kernel"
     w = ctx.shared_param(key, (kernel, kernel, cin, features), kernel_init)
@@ -616,6 +646,7 @@ def apply(
     scan_remat: bool = False,
     flash_attention: bool = False,
     qkv_fused: Optional[bool] = None,
+    unfuse_bn_bwd: bool = False,
     **kwargs,
 ):
     """Run the model. With `masking=None` (default), `shared` must hold
@@ -644,6 +675,7 @@ def apply(
         scan_remat=scan_remat,
         flash_attention=flash_attention,
         qkv_fused=qkv_fused,
+        unfuse_bn_bwd=unfuse_bn_bwd,
     )
     out = model_fn(ctx, x, **kwargs)
     return out, ctx.new_bn_state

@@ -118,6 +118,12 @@ class TrainConfig:
                          # larger scoped-VMEM budget deepens fusion on the
                          # HBM-bound VGG step (measured r3: +4% at b8192).
                          # None = compiler defaults.
+    unfuse_bn_bwd: bool = False  # backward-only barrier on every sconv
+                         # input (models/framework.Ctx.unfuse_bn_bwd): keeps
+                         # the BN-backward reduction epilogues OUT of the
+                         # conv dgrad fusions (PROFILE_r4_trace fusion.20
+                         # class: 89 vs 193 TFLOPS). Identity math; measured
+                         # lever.
     unfuse_gating: bool = False  # optimization_barrier between the grads and
                          # the ownership-gating selects: PROFILE_r4_trace
                          # shows the gate_and_decay select/add fused into
@@ -212,6 +218,7 @@ def build_train_step(
             pipeline=cfg.pipeliner, scan_blocks=cfg.scan_blocks,
             scan_remat=cfg.remat and cfg.scan_blocks,
             flash_attention=cfg.flash_attention, qkv_fused=cfg.qkv_fused,
+            unfuse_bn_bwd=cfg.unfuse_bn_bwd,
             num_classes=num_classes, mult=mult, **model_kwargs,
         )
 

@@ -119,6 +119,10 @@ def main():
                    help="optimization_barrier between grads and the "
                         "ownership-gating selects (keeps them out of conv "
                         "wgrad fusions — see TrainConfig.unfuse_gating)")
+    p.add_argument("--unfuse-bn-bwd", action="store_true",
+                   help="backward barrier on sconv inputs: keeps BN-bwd "
+                        "reduce epilogues out of conv dgrad fusions "
+                        "(TrainConfig.unfuse_bn_bwd)")
     p.add_argument("--xla-flag", action="append", default=[],
                    help="extra compiler option KEY=VALUE (repeatable), "
                         "merged over --vmem-kib")
@@ -148,6 +152,7 @@ def main():
         flash_attention=args.flash_attention,
         qkv_fused={"auto": None, "on": True, "off": False}[args.qkv_fused],
         unfuse_gating=args.unfuse_gating,
+        unfuse_bn_bwd=args.unfuse_bn_bwd,
         compiler_options=copts)
 
     archs, batch_map, aug_family = EXPS[args.exp]
@@ -165,6 +170,7 @@ def main():
                   ("qkv_fused", None if args.qkv_fused == "auto"
                    else args.qkv_fused),
                   ("unfuse_gating", args.unfuse_gating),
+                  ("unfuse_bn_bwd", args.unfuse_bn_bwd),
                   ("xla_flags", args.xla_flag or None),
                   ("use_pallas", args.use_pallas),
                   ("use_pallas_conv", args.use_pallas_conv))

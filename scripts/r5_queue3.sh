@@ -30,9 +30,14 @@ run_to() {
   fi
 }
 
-# 1. headline lever A/B: unfuse the gating selects from conv wgrads
+# 1. headline lever A/Bs: unfuse gating selects from wgrads / BN-bwd
+#    reduces from dgrads / both
 run_to /tmp/r5_vgg_unfuse.json $PY scripts/perf.py --exp vgg \
   --vmem-kib 65536 --unfuse-gating --batches 4096 8192
+run_to /tmp/r5_vgg_unfuse_bn.json $PY scripts/perf.py --exp vgg \
+  --vmem-kib 65536 --unfuse-bn-bwd --batches 4096 8192
+run_to /tmp/r5_vgg_unfuse_both.json $PY scripts/perf.py --exp vgg \
+  --vmem-kib 65536 --unfuse-gating --unfuse-bn-bwd --batches 8192
 
 # 2. transformer serving row (bf16 + calibrated int8)
 run_to /root/repo/PERF_vit_serving_r5.json $PY scripts/serve_bench.py \

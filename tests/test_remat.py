@@ -91,3 +91,11 @@ def test_unfuse_gating_matches_plain():
     for k in plain[0]:
         np.testing.assert_array_equal(np.array(plain[0][k]),
                                       np.array(barr[0][k]))
+    # unfuse_bn_bwd: identity forward + scheduling-only backward barrier on
+    # every sconv input — also bit-identical
+    bnb = run(dataclasses.replace(cfg, unfuse_bn_bwd=True))
+    np.testing.assert_array_equal(np.array(plain[-1]["loss"]),
+                                  np.array(bnb[-1]["loss"]))
+    for k in plain[0]:
+        np.testing.assert_array_equal(np.array(plain[0][k]),
+                                      np.array(bnb[0][k]))
