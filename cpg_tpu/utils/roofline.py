@@ -9,10 +9,16 @@ This module is the single replacement. Conventions:
 
 * Two ceilings, both reported: the PUBLIC CHIP SPEC (v5e: 819 GB/s HBM,
   197 bf16 TFLOPS) and the MEASURED ceilings of this specific chip+relay
-  (scripts/env_probe.py: r3 measured 615 GB/s = 75% of spec, 124 TFLOPS =
-  63% of spec). `fraction_of_spec_floor` is the honest "distance to the
-  data-sheet"; `fraction_of_measured_floor` is "distance to what this chip
-  demonstrably sustains".
+  (scripts/env_probe.py, newest ENV_PROBE_r*.json wins). A caution bought
+  with two rounds of mistakes: the r3/r4 probes' matmul-chain variants
+  capped at 124-133 TFLOPS while the production step's own conv fusions
+  sustain ~193 (PROFILE_r4_trace.json) — the probes, not the chip, were
+  the ceiling, and every `fraction_of_measured_floor` they fed was
+  inflated. The r5 probe therefore includes production-shaped conv-chain
+  variants; the measured MXU ceiling must come from a kernel the chip
+  demonstrably runs at full rate. `fraction_of_spec_floor` is the honest
+  "distance to the data-sheet"; `fraction_of_measured_floor` is "distance
+  to what this chip demonstrably sustains".
 * Two floors per ceiling: HBM bytes / bandwidth and flops / peak. The
   binding floor is the max. FLOP counts from `compiled.cost_analysis()`
   are exact op counts and trusted; its "bytes accessed" counts LOGICAL

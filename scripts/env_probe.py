@@ -112,24 +112,49 @@ def _conv_chain(batch, hw, chans, iters):
     return flop / dt / 1e12
 
 
-def mxu_bf16(dim=4096, iters=60):
+MXU_MATMUL_VARIANTS = {
+    "serial_4096": (4096, 60, 1),
+    "serial_8192": (8192, 15, 1),
+    "4stream_4096": (4096, 15, 4),
+}
+# production-shaped conv chains (VGG conv2_2 / conv3_x at bench batch)
+MXU_CONV_VARIANTS = {
+    "conv3x3_b2048_32x32_c64": (2048, 32, 64, 15),
+    "conv3x3_b2048_16x16_c128": (2048, 16, 128, 15),
+}
+
+
+def run_one_variant(name: str, quick: bool) -> float:
+    scale = 2 if quick else 1
+    if name in MXU_MATMUL_VARIANTS:
+        d, it, s = MXU_MATMUL_VARIANTS[name]
+        return _mxu_chain(d // scale, max(4, it // scale), s)
+    b, hw, c, it = MXU_CONV_VARIANTS[name]
+    return _conv_chain(b // scale, hw, c, max(4, it // scale))
+
+
+def mxu_bf16(quick=False, timeout_s=1500):
+    """Each variant runs in a SUBPROCESS with a hard timeout: a lost remote
+    compile response leaves the in-process client futex-waiting FOREVER
+    (observed r5: 70+ min on the first conv-chain compile, no open socket,
+    relay healthy from other processes). A hung variant is reported as
+    null instead of hanging the whole probe."""
+    import subprocess
+
     best, variants = 0.0, {}
-    for name, (d, it, s) in {
-        "serial_4096": (dim, iters, 1),
-        "serial_8192": (2 * dim, max(4, iters // 4), 1),
-        "4stream_4096": (dim, max(4, iters // 4), 4),
-    }.items():
-        tf = _mxu_chain(d, it, s)
-        variants[name] = round(tf, 1)
-        best = max(best, tf)
-    # production-shaped conv chains (VGG conv2_2 / conv3_x at bench batch)
-    for name, (b, hw, c, it) in {
-        "conv3x3_b2048_32x32_c64": (2048, 32, 64, max(8, iters // 4)),
-        "conv3x3_b2048_16x16_c128": (2048, 16, 128, max(8, iters // 4)),
-    }.items():
-        tf = _conv_chain(b, hw, c, it)
-        variants[name] = round(tf, 1)
-        best = max(best, tf)
+    me = os.path.abspath(__file__)
+    for name in list(MXU_MATMUL_VARIANTS) + list(MXU_CONV_VARIANTS):
+        try:
+            r = subprocess.run(
+                [sys.executable, me, "--variant", name]
+                + (["--quick"] if quick else []),
+                timeout=timeout_s, capture_output=True, text=True)
+            tf = float(r.stdout.strip().splitlines()[-1])
+            variants[name] = round(tf, 1)
+            best = max(best, tf)
+        except Exception as e:
+            variants[name] = None
+            print(f"variant {name}: {type(e).__name__}", file=sys.stderr)
     return {"tflops": round(best, 1), "spec_tflops": PEAK_BF16_TFLOPS,
             "pct_of_spec": round(100 * best / PEAK_BF16_TFLOPS, 1),
             "variants": variants}
@@ -164,6 +189,10 @@ def h2d_bandwidth(size_mb=64):
 
 def main():
     quick = "--quick" in sys.argv
+    if "--variant" in sys.argv:  # subprocess worker: ONE mxu variant
+        name = sys.argv[sys.argv.index("--variant") + 1]
+        print(run_one_variant(name, quick))
+        return
     if not _probe_backend():  # wedged relay hangs jax.devices() forever
         sys.exit(2)
     dev = jax.devices()[0]
@@ -171,7 +200,7 @@ def main():
     out["dispatch"] = dispatch_latency(10 if quick else 30)
     out["h2d"] = h2d_bandwidth(16 if quick else 64)
     out["hbm"] = hbm_bandwidth(512 if quick else 2048, 10 if quick else 30)
-    out["mxu_bf16"] = mxu_bf16(2048 if quick else 4096, 20 if quick else 60)
+    out["mxu_bf16"] = mxu_bf16(quick)
     print(json.dumps(out))
 
 
