@@ -52,6 +52,8 @@ EXPS = {
     # the reference's Exp-2 workhorse (fine-grained @224); first roofline-
     # accountable row r5 (VERDICT r4 weak #5)
     "resnet": (("resnet50",), {"resnet50": (32, 64, 128)}, "imagenet"),
+    # second-modality family (models/text.py): token ids need no augment
+    "text": (("textcls",), {"textcls": (4096, 16384)}, "none"),
 }
 
 
@@ -60,7 +62,7 @@ def _augment(family):
                                       face_train_augment,
                                       imagenet_train_augment)
     return {"cifar": cifar_train_augment, "face": face_train_augment,
-            "imagenet": imagenet_train_augment}[family]
+            "imagenet": imagenet_train_augment, "none": None}[family]
 
 
 def sweep(arch, batches, cfg, augment_fn, measured, iters, warmup):

@@ -29,4 +29,25 @@ else
   echo "=== env_probe FAILED:"; tail -3 /root/repo/ENV_PROBE_r5.json.err
 fi
 
+run_to() {
+  local tmo=$1 out=$2; shift 2
+  if [ -s "$out" ]; then echo "SKIP $out"; return 0; fi
+  if ! probe; then echo "RELAY DEAD before $out — abort"; exit 3; fi
+  echo "=== $(date +%H:%M:%S) start $out: $*"
+  timeout "$tmo" "$@" > "$out.tmp" 2> "$out.err"
+  rc=$?
+  if [ $rc -eq 0 ] && [ -s "$out.tmp" ]; then
+    mv "$out.tmp" "$out"; echo "=== done $out"
+  else
+    echo "=== FAILED rc=$rc $out:"; tail -3 "$out.err"
+  fi
+}
+
+# ResNet-50 + MoE retries (their compiles landed in the cache during the
+# hung morning attempts — these may now be cache hits)
+run_to 3600 /root/repo/PERF_resnet_r5.json $PY scripts/perf.py \
+  --exp resnet --vmem-kib 65536
+run_to 3600 /root/repo/PERF_moe_r5.json $PY scripts/perf.py \
+  --exp moe --vmem-kib 65536
+
 echo "QUEUE4 COMPLETE $(date +%H:%M:%S)"
