@@ -155,10 +155,14 @@ def main():
     if not _probe_backend():
         raise SystemExit(2)
 
-    # headline config carries the measured-winning scoped-VMEM budget
-    # (perf_r3: 123.0 vs 128.9 ms at b8192, +4.7%; RESULTS.md round 3)
+    # headline config carries every measured-winning lever: the scoped-VMEM
+    # budget (perf_r3: 123.0 vs 128.9 ms at b8192, +4.7%; RESULTS.md round 3)
+    # and unfuse_gating (r5 A/B at b8192: 121.0 vs 122.7 ms, +1.4% — the
+    # gating selects out of the wgrad fusions; unfuse_bn_bwd measured as a
+    # -5.5% REGRESSION and stays off — RESULTS.md r5)
     VMEM64M = {"xla_tpu_scoped_vmem_limit_kib": "65536"}
-    cfg = TrainConfig(compute_dtype=jnp.bfloat16, compiler_options=VMEM64M)
+    cfg = TrainConfig(compute_dtype=jnp.bfloat16, unfuse_gating=True,
+                      compiler_options=VMEM64M)
 
     # headline: default-path masked VGG16-BN step; the step is HBM-bound
     # (see RESULTS.md roofline), so a larger batch amortizes fixed passes —
