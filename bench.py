@@ -168,7 +168,10 @@ def main():
     # (see RESULTS.md roofline), so a larger batch amortizes fixed passes —
     # measure both and report the better img/s
     ms_by_batch, bytes_by_batch = {}, {}
-    for b, w, it in ((BATCH, WARMUP, ITERS), (4096, 5, 10), (8192, 4, 8)):
+    # iteration counts match scripts/perf.py (20 timed iters at the large
+    # batches): 8 iters under-amortized the first-call sync and read the
+    # b8192 step ~2 ms slow (123.0 vs the stable 121; RESULTS.md r5)
+    for b, w, it in ((BATCH, WARMUP, ITERS), (4096, 5, 20), (8192, 5, 20)):
         ms_by_batch[b], bytes_by_batch[b] = _time_step(
             "vgg16_bn_cifar", cfg, b, w, it, augment_fn=cifar_train_augment)
     cands = {b: b * 1e3 / ms for b, ms in ms_by_batch.items()}
