@@ -59,7 +59,7 @@ def attention(ctx: Ctx, name: str, x, heads_n: int, head_dim: int,
     # sdense consumes (N, T, D) directly — flattening to (N*T, D) here
     # materializes a copy when T is not lane-aligned (196 tokens @ 224px);
     # the (T, inner) -> (T, H, hd) splits below are minor-most and free.
-    fuse = ctx.qkv_fused if ctx.qkv_fused is not None else d < 512
+    fuse = ctx.qkv_fused if ctx.qkv_fused is not None else False
     if (fuse and ctx.mode != "init" and ctx.masking is None
             and ctx.quant_scales is None):
         # One (D, 3*inner) GEMM instead of three (D, inner) GEMMs: the
@@ -71,10 +71,14 @@ def attention(ctx: Ctx, name: str, x, heads_n: int, head_dim: int,
         # grads land back on the per-projection entries. Each output
         # column block contracts identically to its standalone GEMM, so
         # numerics match the 3-GEMM path (bit-equal on CPU; tested).
-        # Gated on embed dim (auto: D < 512) — measured +24% at D=256
-        # (vit_cifar 16.2k -> 20.2k img/s b1024) but -2% at D=768 (vit_b16
-        # 832 -> 815 b128) where the per-step weight concat/split traffic
-        # outweighs the saved activation reads; PERF_vit_qkv_r4.json.
+        # History of the default: r4 measured +24% at D=256 pre-layout-pass
+        # (vit_cifar 16.2k -> 20.2k b1024; PERF_vit_qkv_r4.json) and gated
+        # auto on D < 512. r5 RE-measured on the post-layout code and the
+        # crossover is GONE: unfused 21.3k vs fused 20.3k at b1024 (+5%
+        # unfused; b4096 neutral) — the (N,T,3*inner) slice/copy tax now
+        # outweighs the saved input reads (the step is op-count-taxed:
+        # 2,165 leaf ops, PROFILE_r5_vit.json). Auto is therefore OFF
+        # everywhere; "on" stays a tested opt-in (RESULTS.md r5).
         ws = [ctx.shared_param(f"{name}/{p}/kernel", (d, inner),
                                xavier_normal) for p in "qkv"]
         bs = [ctx.private_param(f"{name}/{p}/bias", (inner,),
