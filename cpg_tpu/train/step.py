@@ -85,10 +85,11 @@ class TrainConfig:
                          # not bit-identical (tile reassociation); keep it
                          # constant across a task sequence.
     qkv_fused: Optional[bool] = None  # fused (D, 3*inner) QKV GEMM in ViT
-                         # attention. None = auto by embed dim (fuse iff
-                         # D < 512 — the measured v5e crossover: +24% at
-                         # D=256, -2% at D=768; PERF_vit_qkv_r4.json).
-                         # True/False force it for probes.
+                         # attention. None = measured default: OFF (the r4
+                         # D<512 crossover vanished post-layout-pass — the
+                         # fused path's slice traffic loses ~5% at D=256;
+                         # PERF_vit_r5.json, PROFILE_r5_vit.json). True
+                         # forces it on for probes/future shapes.
     scan_blocks: bool = False  # run homogeneous transformer `blocks/{i}/`
                          # stacks as ONE lax.scan over in-graph stacked
                          # params (models/vit.scan_vit_blocks): the HLO

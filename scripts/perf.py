@@ -115,8 +115,8 @@ def main():
                         "block size (default: upstream 128s)")
     p.add_argument("--qkv-fused", choices=["auto", "on", "off"],
                    default="auto",
-                   help="ViT fused (D, 3*inner) QKV GEMM: auto = embed-dim "
-                        "gate (fuse iff D < 512, the measured crossover)")
+                   help="ViT fused (D, 3*inner) QKV GEMM: auto = measured "
+                        "default (off since r5 — see models/vit.py)")
     p.add_argument("--unfuse-gating", action="store_true",
                    help="optimization_barrier between grads and the "
                         "ownership-gating selects (keeps them out of conv "
